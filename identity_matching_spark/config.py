@@ -1,0 +1,70 @@
+"""Engine configuration.
+
+Analog of the reference's declarative rule config ``mdm-rules.json``
+(/root/reference/src/main/resources/mdm-rules.json:1-48) plus its
+application properties (validation level, remote caps): a plain dataclass
+the pipeline compiles into Column expressions — no runtime rule
+interpreter, everything lands in Catalyst.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+
+
+# Blocking-key families (reference: candidateSearchParams in mdm-rules.json:4-17
+# and the conjunctive $match search, IdentityMatching.java:911-1053).
+# Each family derives (blocking_key, record_id) rows; candidates are the
+# union of per-family self-equi-joins, deduped (SURVEY.md J1/J4/A4/O5).
+DEFAULT_BLOCKING = (
+    "content_sha",   # exact content identity (MRN-analog strong key)
+    "file_id",       # repo+path identity across commits (digital-id analog)
+    "norm_sha",      # whitespace/case-normalized content identity (SSN analog)
+    "name_prefix",   # lang + 4-char stem prefix (HAPI normalized starts-with, F4)
+    "name_soundex",  # lang + soundex(stem) (mdm-rules.json:34-41 SOUNDEX matcher as key)
+    "minhash_lsh",   # MinHash band signatures over content shingles (near-dup family)
+)
+
+
+@dataclass(frozen=True)
+class MatchConfig:
+    # --- blocking ---
+    blocking_families: tuple[str, ...] = DEFAULT_BLOCKING
+    name_prefix_len: int = 4          # HAPI string-param prefix semantics (F4)
+    # MinHash-LSH: num_perm signatures, grouped into bands of (num_perm/bands)
+    minhash_perms: int = 32
+    lsh_bands: int = 8
+    shingle_words: int = 3            # word-shingle width over normalized content
+    # Per-block pair-explosion guard: blocks larger than this are not
+    # pair-expanded (logged, never silent — SURVEY.md §4.2). Exact-identity
+    # families instead fall back to star edges above identity_star_threshold.
+    max_block_size: int = 1000
+    identity_star_threshold: int = 64
+    # --- scoring / clustering ---
+    cluster_threshold: float = 0.80   # min grade for a match edge (MDM MATCH analog)
+    # --- skew / shuffle ---
+    salt_buckets: int = 16            # salt fan-out for hot blocking keys
+    cc_max_iterations: int = 25       # large-star/small-star bound (log n in practice)
+    # --- fuzzy comparators (mdm-rules.json matchFields; SURVEY.md C14-C16) ---
+    jaro_winkler_threshold: float = 0.92
+    levenshtein_ratio_threshold: float = 0.85
+    enable_fuzzy: bool = True
+    # --- checkpoint / lineage ---
+    checkpoint_dir: str | None = None  # parquet snapshot store; None = localCheckpoint only
+
+    @property
+    def lsh_rows_per_band(self) -> int:
+        return max(1, self.minhash_perms // self.lsh_bands)
+
+    def with_(self, **kw) -> "MatchConfig":
+        return replace(self, **kw)
+
+
+# Grade tiers exactly as the reference decision table emits them
+# (IdentityMatchingScorer.java:38-69).
+GRADE_CERTAIN = 0.99
+GRADE_PROBABLE = 0.80
+GRADE_POSSIBLE = 0.70
+GRADE_WEAK = 0.60
+GRADE_NONE = 0.10
+ALL_GRADES = (GRADE_CERTAIN, GRADE_PROBABLE, GRADE_POSSIBLE, GRADE_WEAK, GRADE_NONE)

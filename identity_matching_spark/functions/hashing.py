@@ -1,0 +1,117 @@
+"""Hashing primitives: content identity, portable 64-bit hashes, MinHash,
+LSH band keys, SimHash.
+
+Two hash tiers, chosen deliberately:
+
+* ``hash64_fast`` — ``xxhash64`` (JVM, codegen'd). The production path for
+  MinHash/SimHash at 100 TB: no Python, no crypto cost.
+* ``hash64_sha`` — first 15 hex chars of sha256 as a bigint. Bit-identical
+  in DuckDB (``CAST(CONCAT('0x', SUBSTR(sha256(x),1,15)) AS BIGINT)``),
+  so any operator built on it is oracle-checkable cross-engine. Used by
+  the ``queries()``/``oracle_sql()`` correctness surface.
+
+Content identity is always ``sha2(content, 256)`` — the per-row invariant
+mandated by BASELINE.json ``input_hint`` (reference analog: strong
+identifiers, IdentityMatching.java:304-338).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def sha256_hex(col: Column) -> Column:
+    """Lowercase 64-char sha256 hex; identical to DuckDB ``sha256(x)``."""
+    return F.sha2(col.cast("string"), 256)
+
+
+def hash64_sha(col: Column) -> Column:
+    """Portable (Spark==DuckDB) unsigned-60-bit hash as bigint."""
+    return F.conv(F.substring(F.sha2(col.cast("string"), 256), 1, 15), 16, 10).cast("long")
+
+
+def hash64_fast(col: Column, seed: int = 0) -> Column:
+    """xxhash64 — JVM-fast, used on the hot path (not oracle-portable)."""
+    if seed:
+        return F.xxhash64(F.lit(seed), col)
+    return F.xxhash64(col)
+
+
+def word_shingles(norm_text: Column, k: int) -> Column:
+    """Distinct k-word shingles of a whitespace-normalized string.
+
+    Pure Column composition (no UDF): split -> sliding windows via
+    transform over an index sequence -> array_distinct. Documents shorter
+    than k words yield a single whole-text shingle so every row blocks.
+    """
+    words = F.split(norm_text, " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    shingle_at = lambda i: F.array_join(F.slice(words, i + 1, k), " ")  # noqa: E731
+    return F.when(n >= k, F.array_distinct(F.transform(idx, shingle_at))).otherwise(
+        F.array(norm_text)
+    )
+
+
+def minhash_signature(shingles: Column, num_perm: int, fast: bool = True) -> Column:
+    """MinHash signature: array of num_perm bigints.
+
+    sig[i] = min over shingles of H(i || ':' || shingle). One pass per
+    permutation, all inside codegen (transform over a literal sequence +
+    array_min) — no shuffle, no Python.
+    """
+    h = hash64_fast if fast else hash64_sha
+
+    def sig_i(i: Column) -> Column:
+        return F.array_min(
+            F.transform(shingles, lambda s: h(F.concat(i.cast("string"), F.lit(":"), s)))
+        )
+
+    return F.transform(F.sequence(F.lit(0), F.lit(num_perm - 1)), sig_i)
+
+
+def lsh_band_keys(signature: Column, bands: int, rows_per_band: int, fast: bool = True) -> Column:
+    """LSH band keys: array of ``bands`` strings ``mh<i>:<hash(band slice)>``.
+
+    Two rows sharing ANY band key become blocking candidates (standard
+    banding; see MinHash-LSH in Mining of Massive Datasets ch.3).
+    """
+    h = hash64_fast if fast else hash64_sha
+
+    def band_key(b: Column) -> Column:
+        sl = F.slice(signature, b * rows_per_band + 1, rows_per_band)
+        joined = F.array_join(F.transform(sl, lambda x: x.cast("string")), ",")
+        return F.concat(F.lit("mh"), b.cast("string"), F.lit(":"), h(joined).cast("string"))
+
+    return F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), band_key)
+
+
+def simhash64(tokens: Column, fast: bool = True) -> Column:
+    """64-bit SimHash over a token array, as bigint.
+
+    Classic bit-voting (Charikar 2002): for each bit b, sum +-1 votes of
+    token-hash bit b; simhash bit b = 1 iff the sum > 0. Composed from
+    transform/aggregate/shiftright — stays in whole-stage codegen.
+    """
+    h = hash64_fast if fast else hash64_sha
+    hashes = F.transform(tokens, h)
+
+    def vote(b):
+        return F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, x: acc
+            + (F.shiftrightunsigned(x, b).bitwiseAND(F.lit(1)).cast("long") * 2 - 1),
+        )
+
+    bits = [F.when(vote(b) > 0, F.lit(1).cast("long")).otherwise(F.lit(0)) for b in range(64)]
+    packed = F.lit(0).cast("long")
+    for b, bit in enumerate(bits):
+        packed = packed.bitwiseOR(F.shiftleft(bit, b))
+    return packed
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit simhashes (bit_count of xor)."""
+    return F.bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,148 @@
+"""Blocking: records -> candidate pairs.
+
+Reference semantics re-expressed at corpus scale (SURVEY.md J1/J4/A4/O5):
+the server builds ONE conjunctive indexed search per query patient
+(IdentityMatching.java:911-1053) and the MDM subsystem unions independent
+per-key candidate fetches (mdm-rules.json:4-17). For batch all-pairs
+linkage the equivalent is: explode each record into
+``(blocking_key, record_id)`` rows across several key families, self-
+equi-join on the key, and de-duplicate pairs found under multiple keys
+(the reference dedups candidates by fullUrl, IdentityMatching.java:625-627).
+
+Scale design (the part Catalyst cannot invent, SURVEY.md §4):
+
+* **Per-block pair guard.** A block of n records yields n(n-1)/2 pairs;
+  a hot key (empty files, ``__init__.py`` stems, dominant lang) is
+  quadratic death at 10^12 rows. Blocks larger than
+  ``config.max_block_size`` are excluded from pair expansion and
+  REPORTED (returned in a metrics DataFrame — never a silent cap).
+* **Identity-star shortcut.** For *identity* families (content_sha,
+  file_id) every member of a block is pairwise-linked by a strong key
+  whose single flag already grades 0.99 (decision table line 41:
+  mrn || digitalId). Blocks above ``identity_star_threshold`` therefore
+  emit O(n) star pairs (min record_id as hub) instead of O(n^2) —
+  the transitive closure recovers the same cluster.
+* **Skew.** The join itself is an equi-join on blocking_key; with the
+  guard in place no single key exceeds max_block_size, bounding any
+  post-shuffle partition. AQE skew-join splitting stays enabled as a
+  backstop, and the key space is pre-spread with
+  ``repartition(blocking_key)`` so the pair join and the dedup reuse
+  one shuffle.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from identity_matching_spark.config import MatchConfig
+from identity_matching_spark.functions.hashing import (
+    lsh_band_keys,
+    minhash_signature,
+    word_shingles,
+)
+from identity_matching_spark.functions.normalize import hapi_norm
+
+# Families whose key alone implies a 0.99-grade match (strong identifiers).
+IDENTITY_FAMILIES = {"content_sha", "file_id"}
+
+
+def blocking_keys(records: DataFrame, config: MatchConfig) -> DataFrame:
+    """Explode records into (family, blocking_key, record_id) rows.
+
+    Key derivations follow HAPI search-param semantics: string params are
+    accent/case-folded prefixes (F4), token params exact (SURVEY.md §2.2).
+    """
+    fams = []
+    f = config.blocking_families
+    if "content_sha" in f:
+        fams.append(F.struct(F.lit("content_sha").alias("family"),
+                             F.concat(F.lit("sha:"), F.col("content_sha256")).alias("blocking_key")))
+    if "file_id" in f:
+        fams.append(F.struct(F.lit("file_id").alias("family"),
+                             F.concat(F.lit("fid:"), F.col("file_id")).alias("blocking_key")))
+    if "norm_sha" in f:
+        fams.append(F.struct(F.lit("norm_sha").alias("family"),
+                             F.concat(F.lit("nsha:"), F.col("norm_sha")).alias("blocking_key")))
+    if "name_prefix" in f:
+        fams.append(F.struct(
+            F.lit("name_prefix").alias("family"),
+            F.concat(F.lit("np:"), F.col("lang_norm"), F.lit("|"),
+                     F.substring(hapi_norm(F.col("stem")), 1, config.name_prefix_len)
+                     ).alias("blocking_key")))
+    if "name_soundex" in f:
+        fams.append(F.struct(
+            F.lit("name_soundex").alias("family"),
+            F.concat(F.lit("sdx:"), F.col("lang_norm"), F.lit("|"),
+                     F.soundex(hapi_norm(F.col("stem")))).alias("blocking_key")))
+
+    keyed = records.select(
+        "record_id", F.explode(F.array(*fams)).alias("k")
+    ).select("record_id", "k.family", "k.blocking_key")
+
+    if "minhash_lsh" in f:
+        shingles = word_shingles(F.col("norm_content"), config.shingle_words)
+        sig = minhash_signature(shingles, config.minhash_perms, fast=True)
+        bands = lsh_band_keys(sig, config.lsh_bands, config.lsh_rows_per_band, fast=True)
+        mh = records.select(
+            "record_id",
+            F.lit("minhash_lsh").alias("family"),
+            F.explode(bands).alias("blocking_key"),
+        )
+        keyed = keyed.unionByName(mh)
+    return keyed
+
+
+@dataclass
+class BlockingResult:
+    pairs: DataFrame        # (left_id, right_id) canonical left<right, deduped
+    block_stats: DataFrame  # (family, blocking_key, n_records, action) for oversized blocks
+
+
+def candidate_pairs(records: DataFrame, config: MatchConfig) -> BlockingResult:
+    """Union-of-families self-equi-join with guards; returns deduped pairs."""
+    keyed = blocking_keys(records, config)
+
+    # One shuffle on blocking_key serves the size count AND the self-join.
+    sizes = keyed.groupBy("family", "blocking_key").agg(F.count("*").alias("n_records"))
+
+    star_eligible = F.col("family").isin(*IDENTITY_FAMILIES)
+    oversized = F.col("n_records") > F.lit(config.max_block_size)
+    starred = star_eligible & (F.col("n_records") > F.lit(config.identity_star_threshold))
+
+    block_stats = sizes.filter(oversized | starred).withColumn(
+        "action",
+        F.when(starred, F.lit("star")).otherwise(F.lit("dropped")),
+    )
+
+    keyed_sized = keyed.join(
+        F.broadcast(
+            sizes.filter(oversized | starred).select("blocking_key", "family",
+                                                     starred.alias("is_star"))
+        ),
+        ["family", "blocking_key"],
+        "left",
+    )
+
+    quad = keyed_sized.filter(F.col("is_star").isNull()).select("blocking_key", "record_id")
+    star = keyed_sized.filter(F.col("is_star") == True).select("blocking_key", "record_id")  # noqa: E712
+
+    l, r = quad.alias("l"), quad.alias("r")
+    quad_pairs = (
+        l.join(r, "blocking_key")
+        .filter(F.col("l.record_id") < F.col("r.record_id"))
+        .select(F.col("l.record_id").alias("left_id"), F.col("r.record_id").alias("right_id"))
+    )
+
+    # Star expansion: hub = min(record_id) per oversized identity block.
+    hubs = star.groupBy("blocking_key").agg(F.min("record_id").alias("hub"))
+    star_pairs = (
+        star.join(hubs, "blocking_key")
+        .filter(F.col("record_id") != F.col("hub"))
+        .select(F.col("hub").alias("left_id"), F.col("record_id").alias("right_id"))
+    )
+
+    pairs = quad_pairs.unionByName(star_pairs).dropDuplicates(["left_id", "right_id"])
+    return BlockingResult(pairs=pairs, block_stats=block_stats)

@@ -1,0 +1,123 @@
+"""Pairwise comparators: candidate pairs -> feature (flag) vector.
+
+Port of the reference's scoring loops (IdentityMatching.java:285-481) to
+vectorized Column expressions over a pair DataFrame. Each reference flag
+is an EXISTS over element pairs (sticky boolean setters,
+IdentityMatchingScorer.java:96-234) — here ``arrays_overlap`` / equality
+on pre-derived attributes, evaluated in whole-stage codegen. NULL on
+either side is "no match" (the reference's loops simply never fire),
+hence every flag is wrapped in explicit NOT NULL guards so the same SQL
+evaluates identically in the DuckDB oracle.
+
+Deliberate divergences from the reference, documented per SURVEY.md §2.11:
+
+* C2 (SSN4 vs full SSN) and C6 (middle initial) are query-side-asymmetric
+  in the server (a query carries only last-4 / only an initial). Batch
+  all-pairs linkage has no query side, so both are symmetrized:
+  last-4-of-full == last-4-of-full; initial rule fires when EITHER side's
+  middle is single-char.
+* Scoring remains case-sensitive exact on raw attributes while blocking
+  normalized — the reference's asymmetry, preserved.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Columns each side of a pair needs for comparison.
+ATTR_COLS = [
+    "record_id", "content_sha256", "file_id", "norm_sha", "stem", "ext",
+    "dir1", "dir2", "parent_dir", "lang_norm", "size_bucket",
+    "first_line_sha", "last_line_sha", "line_hashes", "sorted_lines_sha",
+    "shape_sha", "ins_member_sha", "ins_subscriber_sha",
+]
+
+# (flag name, attribute, comparison kind)
+FLAG_NAMES = [
+    "mrn_match", "digital_id_match", "ssn_match", "ssn_last4_match",
+    "drivers_license_match", "passport_match", "insurance_member_match",
+    "insurance_subscriber_match", "family_name_match", "first_name_match",
+    "middle_name_match", "middle_initial_match", "birth_sex_match",
+    "birth_date_match", "phone_match", "email_match", "address_line_match",
+    "address_city_match", "address_state_match", "address_postal_match",
+]
+
+
+def _eq(l: Column, r: Column) -> Column:
+    """Null-safe 'both present and equal' (reference loops skip nulls)."""
+    return l.isNotNull() & r.isNotNull() & (l == r)
+
+
+def attach_sides(pairs: DataFrame, records: DataFrame) -> DataFrame:
+    """Join attributes onto both sides of the pair list.
+
+    Two shuffles on record_id (unavoidable for arbitrary pair lists);
+    records is projected to ATTR_COLS first so the shuffled payload is
+    minimal (no content strings cross the wire).
+    """
+    attrs = records.select(*ATTR_COLS)
+    lhs = attrs.select([F.col(c).alias(f"l_{c}") for c in ATTR_COLS])
+    rhs = attrs.select([F.col(c).alias(f"r_{c}") for c in ATTR_COLS])
+    return (
+        pairs.join(lhs, pairs.left_id == lhs.l_record_id, "inner")
+        .join(rhs, pairs.right_id == rhs.r_record_id, "inner")
+        .drop("l_record_id", "r_record_id")
+    )
+
+
+def comparator_flags() -> dict[str, Column]:
+    """The C1-C13 flag expressions over an attached pair row.
+
+    Citations: identifier matching IdentityMatching.java:304-354, names
+    :357-397, birth sex/date :399-411, address :414-433, telecom :436-453.
+    """
+    L = lambda c: F.col(f"l_{c}")  # noqa: E731
+    R = lambda c: F.col(f"r_{c}")  # noqa: E731
+    last4 = lambda c: F.substring(c, 61, 4)  # sha hex is 64 chars  # noqa: E731
+
+    middle_initial = (
+        L("dir2").isNotNull() & R("dir2").isNotNull()
+        & ((F.length(L("dir2")) == 1) | (F.length(R("dir2")) == 1))
+        & (F.substring(L("dir2"), 1, 1) == F.substring(R("dir2"), 1, 1))
+    )
+
+    return {
+        "mrn_match": _eq(L("content_sha256"), R("content_sha256")),
+        "digital_id_match": _eq(L("file_id"), R("file_id")),
+        "ssn_match": _eq(L("norm_sha"), R("norm_sha")),
+        "ssn_last4_match": _eq(last4(L("norm_sha")), last4(R("norm_sha"))),
+        "drivers_license_match": _eq(L("sorted_lines_sha"), R("sorted_lines_sha")),
+        "passport_match": _eq(L("shape_sha"), R("shape_sha")),
+        "insurance_member_match": _eq(L("ins_member_sha"), R("ins_member_sha")),
+        "insurance_subscriber_match": _eq(L("ins_subscriber_sha"), R("ins_subscriber_sha")),
+        "family_name_match": _eq(L("stem"), R("stem")),
+        "first_name_match": _eq(L("dir1"), R("dir1")),
+        "middle_name_match": _eq(L("dir2"), R("dir2")),
+        "middle_initial_match": middle_initial,
+        "birth_sex_match": _eq(L("lang_norm"), R("lang_norm")),
+        "birth_date_match": _eq(L("size_bucket"), R("size_bucket")),
+        "phone_match": _eq(L("first_line_sha"), R("first_line_sha")),
+        "email_match": _eq(L("last_line_sha"), R("last_line_sha")),
+        "address_line_match": (
+            L("line_hashes").isNotNull() & R("line_hashes").isNotNull()
+            & F.arrays_overlap(L("line_hashes"), R("line_hashes"))
+        ),
+        "address_city_match": _eq(L("parent_dir"), R("parent_dir")),
+        "address_state_match": _eq(L("ext"), R("ext")),
+        "address_postal_match": _eq(
+            F.substring(L("stem"), 1, 5), F.substring(R("stem"), 1, 5)
+        ),
+    }
+
+
+def compare_pairs(pairs: DataFrame, records: DataFrame) -> DataFrame:
+    """pairs(left_id,right_id) -> scored-feature rows (one bool col per flag)."""
+    attached = attach_sides(pairs, records)
+    flags = comparator_flags()
+    out = attached.select(
+        "left_id",
+        "right_id",
+        *[F.coalesce(expr, F.lit(False)).alias(name) for name, expr in flags.items()],
+    )
+    return out

@@ -1,0 +1,114 @@
+"""Normalize: ``files(repo,path,commit,lang,content)`` -> ``records``.
+
+The reference's analog is HAPI's search-parameter extraction — every
+Patient write populates per-attribute index rows (HFJ_SPIDX tables,
+executed via patientDao.search at IdentityMatching.java:1053). We do the
+same once, columnar: derive every attribute the comparators and blocking
+keys need, in a single projection over the scan (Catalyst prunes unused
+columns and pushes any upstream filters below this projection).
+
+Attribute mapping, files-domain <- patient-domain (SURVEY.md §1.4):
+
+| derived column     | patient analog          | comparator |
+|--------------------|-------------------------|------------|
+| content_sha256     | MRN (strong id)         | C1/mrn     |
+| file_id            | digital identifier      | C1/digitalId |
+| norm_sha           | SSN (full)              | C1/ssn     |
+| norm_sha last-4    | SSN4                    | C2         |
+| stem               | name.family             | C3         |
+| dir1               | name.given[0] (first)   | C4         |
+| dir2               | name.given[1] (middle)  | C5/C6      |
+| lang_norm          | us-core-birthsex        | C7         |
+| size_bucket        | birthDate (day prec.)   | C8         |
+| line_hashes        | address.line[]          | C9         |
+| parent_dir         | address.city            | C10        |
+| ext                | address.state           | C10        |
+| stem (left-5)      | address.postalCode      | C11        |
+| first_line_sha     | telecom phone           | C12        |
+| last_line_sha      | telecom email           | C13        |
+| sorted_lines_sha   | drivers license         | C1/DL      |
+| shape_sha          | passport                | C1/PPN     |
+| ins_member_sha     | insurance member        | C1         |
+| ins_subscriber_sha | insurance subscriber    | C1         |
+
+Every expression here also exists verbatim in ANSI SQL (DuckDB) — see
+``__spark_entry__.oracle_sql`` — which is what makes the whole pipeline
+oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from identity_matching_spark.functions.hashing import sha256_hex
+from identity_matching_spark.functions.normalize import norm_ws
+
+SEP = ""  # unit separator for composite keys (chr(31) in SQL)
+
+
+def _filename(path: Column) -> Column:
+    return F.element_at(F.split(path, "/"), -1)
+
+
+def _nonempty_trimmed_lines(content: Column) -> Column:
+    return F.filter(
+        F.transform(F.split(content, "\n"), lambda x: F.trim(x)), lambda x: x != ""
+    )
+
+
+def normalize_files(files: DataFrame) -> DataFrame:
+    """Derive the full comparator/blocking attribute set. One projection,
+    no shuffle; keeps original (repo, path, commit, lang, content) so the
+    per-row sha256 content invariant is verifiable downstream."""
+    filename = _filename(F.col("path"))
+    stem = F.regexp_replace(filename, r"\.[^.]*$", "")
+    ext = F.lower(F.regexp_extract(filename, r"\.([^.]*)$", 1))
+    dir_tokens = F.slice(
+        F.split(F.col("path"), "/"), 1, F.greatest(F.size(F.split(F.col("path"), "/")) - 1, F.lit(0))
+    )
+    norm_content = norm_ws(F.col("content"))
+    lines = _nonempty_trimmed_lines(F.col("content"))
+
+    return files.select(
+        sha256_hex(F.concat_ws(SEP, "repo", "path", "commit")).alias("record_id"),
+        "repo",
+        "path",
+        "commit",
+        "lang",
+        "content",
+        F.lower(F.trim(F.col("lang"))).alias("lang_norm"),
+        sha256_hex(F.col("content")).alias("content_sha256"),
+        sha256_hex(F.concat_ws(SEP, "repo", "path")).alias("file_id"),
+        sha256_hex(norm_content).alias("norm_sha"),
+        norm_content.alias("norm_content"),
+        stem.alias("stem"),
+        ext.alias("ext"),
+        F.element_at(dir_tokens, 1).alias("dir1"),
+        F.when(F.size(dir_tokens) >= 2, F.element_at(dir_tokens, 2)).alias("dir2"),
+        F.when(F.size(dir_tokens) >= 1, F.element_at(dir_tokens, -1)).alias("parent_dir"),
+        F.floor(F.length(norm_content) / F.lit(32)).cast("long").alias("size_bucket"),
+        sha256_hex(F.trim(F.element_at(F.split(F.col("content"), "\n"), 1))).alias(
+            "first_line_sha"
+        ),
+        sha256_hex(F.trim(F.element_at(F.split(F.col("content"), "\n"), -1))).alias(
+            "last_line_sha"
+        ),
+        F.array_distinct(
+            F.transform(lines, lambda x: F.substring(sha256_hex(x), 1, 16))
+        ).alias("line_hashes"),
+        sha256_hex(F.array_join(F.array_sort(F.array_distinct(lines)), "\n")).alias(
+            "sorted_lines_sha"
+        ),
+        sha256_hex(
+            F.regexp_replace(F.col("content"), r"[A-Za-z_][A-Za-z0-9_]*", "ID")
+        ).alias("shape_sha"),
+        sha256_hex(F.concat_ws(SEP, F.col("repo"), F.lower(stem))).alias("ins_member_sha"),
+        sha256_hex(
+            F.concat_ws(
+                SEP,
+                F.lower(F.trim(F.col("lang"))),
+                F.regexp_replace(F.col("path"), r"/[^/]*$", ""),
+            )
+        ).alias("ins_subscriber_sha"),
+    )

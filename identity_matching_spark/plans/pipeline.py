@@ -1,0 +1,142 @@
+"""End-to-end linkage pipeline (the reference's $match + MDM lifecycle,
+re-planned for batch: SURVEY.md §3.4).
+
+    files -> normalize -> blocking -> candidate pairs -> comparator
+    flags -> grade -> match edges -> connected components -> clusters
+
+Stage boundaries = the two unavoidable shuffles (blocking self-join,
+per-iteration CC agg); everything else fuses into scans via whole-stage
+codegen. ``run_pipeline`` returns all intermediate DataFrames lazily —
+callers materialize what they need; with a checkpoint dir set, each
+stage persists to parquet with lineage metadata and ``resume`` restarts
+from the last complete stage (north_rule resumability).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from identity_matching_spark.config import MatchConfig
+from identity_matching_spark.operators.blocking import BlockingResult, candidate_pairs
+from identity_matching_spark.operators.cluster import (
+    clusters_with_singletons,
+    connected_components,
+)
+from identity_matching_spark.operators.compare import compare_pairs
+from identity_matching_spark.operators.grade import grade_pairs
+from identity_matching_spark.operators.normalize import normalize_files
+
+
+@dataclass
+class PipelineResult:
+    records: DataFrame       # normalized attributes (keeps content for invariant)
+    pairs: DataFrame         # deduped candidate pairs
+    block_stats: DataFrame   # oversized/starred block report (never silent)
+    scored_pairs: DataFrame  # flags + score + weight + verdict
+    edges: DataFrame         # pairs with score >= cluster_threshold
+    clusters: DataFrame      # (record_id, cluster_id) incl. singletons
+
+
+def run_pipeline(files: DataFrame, config: MatchConfig | None = None) -> PipelineResult:
+    config = config or MatchConfig()
+    records = normalize_files(files)
+    blocking: BlockingResult = candidate_pairs(records, config)
+    scored = grade_pairs(compare_pairs(blocking.pairs, records))
+    edges = scored.filter(F.col("score") >= F.lit(config.cluster_threshold)).select(
+        "left_id", "right_id"
+    )
+    assignments = connected_components(edges, config)
+    clusters = clusters_with_singletons(records, assignments)
+    return PipelineResult(
+        records=records,
+        pairs=blocking.pairs,
+        block_stats=blocking.block_stats,
+        scored_pairs=scored,
+        edges=edges,
+        clusters=clusters,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Checkpointed variant: persists each stage to parquet with a lineage row,
+# and resumes from the last complete stage. The parquet+manifest layout is
+# a thin stand-in for Iceberg snapshots (no Iceberg jars in this image —
+# the write path is isolated here so swapping in ``writeTo(table)`` is a
+# one-function change).
+# ---------------------------------------------------------------------------
+
+STAGES = ("records", "pairs", "scored_pairs", "edges", "clusters")
+
+
+def run_checkpointed(
+    spark: SparkSession,
+    files: DataFrame,
+    config: MatchConfig,
+    checkpoint_dir: str,
+    resume: bool = True,
+) -> dict[str, DataFrame]:
+    """Run with per-stage parquet checkpoints + lineage/metrics rows.
+
+    Lineage schema (FIXTURES.md §4): stage, rows_out, wall_sec, ts.
+    Resume: stages with a _SUCCESS manifest are read back, not recomputed.
+    """
+    from identity_matching_spark.sources.snapshots import SnapshotStore
+
+    store = SnapshotStore(spark, checkpoint_dir)
+    out: dict[str, DataFrame] = {}
+
+    def stage(name: str, build):
+        if resume and store.has(name):
+            out[name] = store.read(name)
+            return
+        t0 = time.time()
+        df = build()
+        store.write(name, df)
+        store.log_lineage(name, rows_out=store.count(name), wall_sec=time.time() - t0)
+        out[name] = store.read(name)
+
+    stage("records", lambda: normalize_files(files))
+    blocking_holder: dict[str, BlockingResult] = {}
+
+    def build_pairs():
+        b = candidate_pairs(out["records"], config)
+        blocking_holder["b"] = b
+        store.write("block_stats", b.block_stats)
+        return b.pairs
+
+    stage("pairs", build_pairs)
+    stage("scored_pairs", lambda: grade_pairs(compare_pairs(out["pairs"], out["records"])))
+    stage(
+        "edges",
+        lambda: out["scored_pairs"]
+        .filter(F.col("score") >= F.lit(config.cluster_threshold))
+        .select("left_id", "right_id"),
+    )
+    stage(
+        "clusters",
+        lambda: clusters_with_singletons(
+            out["records"], connected_components(out["edges"], config)
+        ),
+    )
+    out["block_stats"] = store.read("block_stats") if store.has("block_stats") else None
+    out["lineage"] = store.lineage()
+    return out
+
+
+def verify_content_invariant(files: DataFrame, records: DataFrame) -> int:
+    """Per-row invariant (BASELINE.json input_hint): sha2(content,256) of the
+    source equals records.content_sha256, row for row. Returns violations."""
+    src = files.select(
+        F.sha2(F.concat_ws("\x1f", "repo", "path", "commit"), 256).alias("record_id"),
+        F.sha2(F.col("content"), 256).alias("expected_sha"),
+    )
+    joined = records.select("record_id", "content_sha256").join(src, "record_id", "full")
+    return joined.filter(
+        (F.col("content_sha256").isNull())
+        | (F.col("expected_sha").isNull())
+        | (F.col("content_sha256") != F.col("expected_sha"))
+    ).count()

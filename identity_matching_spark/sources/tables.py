@@ -1,0 +1,57 @@
+"""Table loaders.
+
+* ``load_table`` — parquet scan of a driver-provided testdata table
+  (TESTDATA.md): columnar, Catalyst pushes filters/pruning into the scan.
+  (Reference analog: the classpath JSON directory scan,
+  DataInitializer.java:42-84, replaced by a real columnar source.)
+* ``files_from_documents`` — deterministic mapping of the generic
+  ``documents`` table into the ``files(repo,path,commit,lang,content)``
+  corpus shape so the linkage pipeline (and its DuckDB oracle) can run
+  on driver-provided data. The same expressions exist in
+  ``__spark_entry__._FILES_SQL`` — keep the two in sync.
+* ``union_sources`` — federated-source analog (remote $match fan-out,
+  IdentityMatching.java:1059-1096): union extra corpora by name with a
+  source cap (remote-limit, application.yaml:110-114 default 3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TESTDATA_TABLES = (
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def files_from_documents(docs: DataFrame) -> DataFrame:
+    """documents(doc_id,text,lang,source,n_chars) -> files shape.
+
+    Path tokens are text-derived so near-identical documents share
+    path-derived attributes (stem/dir) the way near-identical files would.
+    """
+    first_words = F.array_join(F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 2), "_")
+    stem = F.regexp_replace(first_words, "[^a-zA-Z0-9_]", "_")
+    return docs.select(
+        F.concat(F.lit("org"), (F.col("doc_id") % 13).cast("string")).alias("repo"),
+        F.concat(
+            F.col("source"), F.lit("/"), F.col("lang"), F.lit("/"),
+            stem, F.lit("_"), (F.col("doc_id") % 7).cast("string"), F.lit(".txt"),
+        ).alias("path"),
+        F.substring(F.sha2(F.col("doc_id").cast("string"), 256), 1, 40).alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+    )
+
+
+def union_sources(primary: DataFrame, remotes: list[DataFrame], remote_limit: int = 3) -> DataFrame:
+    """Local ∪ remote sources, capped like the reference's remote fan-out."""
+    out = primary
+    for r in remotes[:remote_limit]:
+        out = out.unionByName(r, allowMissingColumns=True)
+    return out

@@ -1,0 +1,115 @@
+"""End-to-end pipeline on the deterministic synthetic corpus:
+correctness gates from BASELINE.md — decision-parity F1, content
+invariant, cluster transitivity, grade domain.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from identity_matching_spark.config import MatchConfig
+from identity_matching_spark.corpus import generate_files, labeled_pairs
+from identity_matching_spark.operators.blocking import blocking_keys
+from identity_matching_spark.oracle import FLAG_FIELDS, Flags, score_match
+from identity_matching_spark.plans.pipeline import run_pipeline, verify_content_invariant
+
+
+N_ENTITIES = 400
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return generate_files(spark, N_ENTITIES).cache()
+
+
+@pytest.fixture(scope="module")
+def result(corpus):
+    files = corpus.drop("entity_id")
+    res = run_pipeline(files, MatchConfig())
+    res.scored_pairs.cache()
+    res.clusters.cache()
+    return res
+
+
+def test_corpus_deterministic(spark, corpus):
+    again = generate_files(spark, N_ENTITIES, partitions=3)
+    assert corpus.count() == again.count()
+    assert corpus.exceptAll(again).count() == 0
+
+
+def test_content_invariant(corpus, result):
+    files = corpus.drop("entity_id")
+    assert verify_content_invariant(files, result.records) == 0
+
+
+def test_grade_domain(result):
+    grades = {r["score"] for r in result.scored_pairs.select("score").distinct().collect()}
+    assert grades <= {0.99, 0.80, 0.70, 0.60, 0.10}
+
+
+def test_decision_parity_f1(result):
+    """Spark-side grades vs the Python oracle port on the same flag vectors —
+    the BASELINE.md F1>=0.99 gate (expected exactly 1.0 since the grade
+    expression is a port of the same decision table)."""
+    rows = result.scored_pairs.collect()
+    assert len(rows) > 100
+    tp = fp = fn = 0
+    thr = 0.80
+    for r in rows:
+        f = Flags(**{k: bool(r[k]) for k in FLAG_FIELDS})
+        want = score_match(f) >= thr
+        got = r["score"] >= thr
+        assert r["score"] == pytest.approx(score_match(f))
+        tp += want and got
+        fp += got and not want
+        fn += want and not got
+    f1 = 2 * tp / (2 * tp + fp + fn) if tp else 0.0
+    assert f1 >= 0.99
+
+
+def test_cluster_transitivity(result):
+    """Every match edge's endpoints share a cluster id (A~B => same cluster)."""
+    edges = result.edges
+    c = result.clusters
+    l = c.withColumnRenamed("record_id", "left_id").withColumnRenamed("cluster_id", "lc")
+    r = c.withColumnRenamed("record_id", "right_id").withColumnRenamed("cluster_id", "rc")
+    bad = edges.join(l, "left_id").join(r, "right_id").filter(F.col("lc") != F.col("rc")).count()
+    assert bad == 0
+
+
+def test_cluster_ids_are_min_members(result):
+    agg = result.clusters.groupBy("cluster_id").agg(F.min("record_id").alias("mn"))
+    assert agg.filter(F.col("cluster_id") != F.col("mn")).count() == 0
+
+
+def test_every_record_clustered_once(result, corpus):
+    n_records = result.records.count()
+    assert result.clusters.count() == n_records
+    assert result.clusters.select("record_id").distinct().count() == n_records
+
+
+def test_entity_recovery_quality(spark, corpus, result):
+    """Informational floor: pairwise F1 vs planted entity labels over
+    same-blocking-key labeled pairs (FIXTURES.md §2)."""
+    recs_with_entity = result.records.join(
+        corpus.select(
+            F.sha2(F.concat_ws("\x1f", "repo", "path", "commit"), 256).alias("record_id"),
+            "entity_id",
+        ),
+        "record_id",
+    )
+    keyed = blocking_keys(result.records, MatchConfig())
+    lp = labeled_pairs(recs_with_entity, keyed)
+    decided = lp.join(
+        result.scored_pairs.select("left_id", "right_id", "score"),
+        ["left_id", "right_id"],
+        "left",
+    ).select("is_match", (F.coalesce(F.col("score"), F.lit(0.10)) >= 0.80).alias("pred"))
+    agg = decided.agg(
+        F.sum(F.when(F.col("is_match") & F.col("pred"), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(~F.col("is_match") & F.col("pred"), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(F.col("is_match") & ~F.col("pred"), 1).otherwise(0)).alias("fn"),
+    ).collect()[0]
+    tp, fp, fn = agg["tp"], agg["fp"], agg["fn"]
+    f1 = 2 * tp / (2 * tp + fp + fn) if tp else 0.0
+    print(f"entity-label pairwise F1 = {f1:.4f} (tp={tp} fp={fp} fn={fn})")
+    assert f1 > 0.5  # informational floor; decision-parity gate is the real one
