@@ -1,38 +1,361 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship linkage pipeline; ``queries``/``oracle_sql``
+expose every implemented operator (SURVEY.md §2) with DuckDB twins.
+Implementation lives in ``identity_matching_spark/``.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from identity_matching_spark import queries as Q
+from identity_matching_spark import oracle_sql as OS
+from identity_matching_spark.config import MatchConfig
+from identity_matching_spark.functions.hashing import minhash_coeffs, MINHASH_P
+from identity_matching_spark.plans.pipeline import run_pipeline
+from identity_matching_spark.sources.tables import files_from_documents, load_table
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full linkage pipeline (all blocking families incl. soundex
+    and fast MinHash-LSH) over the sf0.001 corpus mapping; returns graded
+    candidate pairs."""
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    files = files_from_documents(docs)
+    res = run_pipeline(files, MatchConfig())
+    return res.scored_pairs.select("left_id", "right_id", "score", "weight", "verdict")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    base = {
+        # --- ER core (SURVEY.md §2.2-2.7) ---
+        "normalize_attrs": Q.q_normalize,
+        "blocking_keys": Q.q_blocking_keys,
+        "candidate_pairs": Q.q_candidate_pairs,
+        "scored_pairs": Q.q_scored_pairs,
+        "grade_distribution": Q.q_grade_distribution,
+        "weight_distribution": Q.q_weight_distribution,
+        "mdm_verdicts": Q.q_mdm_verdicts,
+        "block_stats": Q.q_block_stats,
+        "clusters": Q.q_clusters,
+        "completeness_tier": Q.q_completeness_tier,
+        "ssn4_projection": Q.q_ssn4_projection,
+        "minhash_lsh_portable": Q.q_minhash_lsh_portable,
+        "incremental_pairs": Q.q_incremental_pairs,
+        # --- training-data pipeline ops ---
+        "dedup_exact": Q.q_dedup_exact,
+        "dedup_ngram_jaccard": Q.q_dedup_ngram_jaccard,
+        "simhash": Q.q_simhash,
+        "fingerprint": Q.q_fingerprint,
+        "lang_id": Q.q_lang_id,
+        "text_quality": Q.q_text_quality,
+        "token_count": Q.q_token_count,
+        "ann_cosine": Q.q_ann_cosine,
+        "ann_topk": Q.q_ann_topk,
+        # --- generic relational operators ---
+        "agg_orders": Q.q_agg_orders,
+        "region_revenue": Q.q_region_revenue,
+        "topk_orders": Q.q_topk_orders,
+        "union_dedup": Q.q_union_dedup,
+        "anti_incremental": Q.q_anti_incremental,
+        "registry_lookup": Q.q_registry_lookup,
+        # --- full pipeline (rows-only: uses non-portable fast hashes) ---
+        "pipeline_full": _q_pipeline_full,
+    }
+    return base
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def _q_pipeline_full(spark, sf_dir):
+    files = files_from_documents(load_table(spark, sf_dir, "documents"))
+    res = run_pipeline(files, MatchConfig())
+    return res.clusters
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL
+# ---------------------------------------------------------------------------
+
+_H64 = "CAST(concat('0x', substr(sha256({x}), 1, 15)) AS BIGINT)"
+
+
+def _minhash_sql() -> str:
+    coeffs = minhash_coeffs(32)
+    sig_items = ",\n      ".join(
+        f"list_min([(h * {a} + {b}) % {MINHASH_P} for h in hs])" for a, b in coeffs
+    )
+    band_items = ",\n      ".join(
+        "concat('mh', {b}, ':', CAST({h} AS VARCHAR))".format(
+            b=b, h=_H64.format(x=f"array_to_string(sig[{b*4+1}:{b*4+4}], ',')")
+        )
+        for b in range(8)
+    )
+    return f"""{OS.PRELUDE},
+    mh AS (
+      SELECT record_id, norm_content, string_split(norm_content, ' ') AS words FROM records
+    ),
+    sh AS (
+      SELECT record_id,
+        CASE WHEN len(words) >= 3
+          THEN list_distinct([array_to_string(words[i:i+2], ' ') for i in range(1, len(words)-1)])
+          ELSE [norm_content] END AS shingles
+      FROM mh
+    ),
+    bh AS (
+      SELECT record_id, [{_H64.format(x='s')} & 2147483647 for s in shingles] AS hs FROM sh
+    ),
+    sig_t AS (
+      SELECT record_id, [{sig_items}] AS sig FROM bh
+    )
+    SELECT record_id, unnest([{band_items}]) AS blocking_key FROM sig_t"""
+
+
+def _simhash_sql() -> str:
+    votes = []
+    for b in range(64):
+        vote = f"list_sum([CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END for h in hs])"
+        votes.append(
+            f"(CASE WHEN COALESCE({vote}, 0) > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END << {b})"
+        )
+    packed = " + ".join(votes)
+    return f"""WITH t AS (
+      SELECT doc_id,
+        list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), x -> x != '') AS toks
+      FROM documents
+    ),
+    hh AS (SELECT doc_id, [{_H64.format(x='t')} for t in toks] AS hs FROM t)
+    SELECT doc_id, {packed} AS simhash FROM hh"""
+
+
+_TOKS = (
+    "list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),"
+    " x -> x != '')"
+)
+
+_CLUSTERS_SQL = (
+    "WITH RECURSIVE "
+    + ",".join([OS.FILES_CTE, OS.RECORDS_CTE, OS.KEYS_CTE, OS.PAIRS_CTE, OS.SCORED_PAIRS_CTE])
+    + """,
+    edges AS (SELECT left_id, right_id FROM scored WHERE score >= 0.80),
+    sym AS (
+      SELECT left_id AS s, right_id AS d FROM edges
+      UNION ALL SELECT right_id, left_id FROM edges
+    ),
+    walk(node, front) AS (
+      SELECT record_id, record_id FROM records
+      UNION
+      SELECT w.node, e.d FROM walk w JOIN sym e ON w.front = e.s
+    )
+    SELECT node AS record_id, min(front) AS cluster_id FROM walk GROUP BY node"""
+)
+
+
+def _lang_id_sql() -> str:
+    sets = {
+        "en": ["the", "a", "of", "and", "to", "in", "is"],
+        "de": ["der", "die", "das", "und", "ist", "ein"],
+        "es": ["el", "la", "de", "y", "es", "un"],
+        "fr": ["le", "la", "de", "et", "est", "un"],
+        "zh": ["de", "shi", "le", "zai", "he"],
+    }
+    cnt = ", ".join(
+        "len(list_filter(toks, t -> list_contains({lst}, t))) AS c_{k}".format(
+            lst="[" + ",".join(f"'{w}'" for w in v) + "]", k=k
+        )
+        for k, v in sets.items()
+    )
+    return f"""WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+    c AS (SELECT doc_id, lang, {cnt} FROM t)
+    SELECT doc_id, lang,
+      CASE
+        WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr AND c_en >= c_zh THEN 'en'
+        WHEN c_de >= c_es AND c_de >= c_fr AND c_de >= c_zh THEN 'de'
+        WHEN c_es >= c_fr AND c_es >= c_zh THEN 'es'
+        WHEN c_fr >= c_zh THEN 'fr'
+        ELSE 'zh' END AS pred_lang
+    FROM c"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    P, PP, PS = OS.PRELUDE, OS.PRELUDE_PAIRS, OS.PRELUDE_SCORED
+    cols = ", ".join(Q.RECORD_SCALAR_COLS)
+    return {
+        "normalize_attrs": f"{P} SELECT {cols} FROM records",
+        "blocking_keys": "WITH "
+        + ",".join([OS.FILES_CTE, OS.RECORDS_CTE, OS.KEYS_CTE])
+        + " SELECT record_id, family, blocking_key FROM keys",
+        "candidate_pairs": f"{PP} SELECT left_id, right_id FROM pairs",
+        "scored_pairs": f"""{PS} SELECT left_id, right_id,
+            {', '.join(OS.FLAG_SQL)}, CAST(score AS DOUBLE) AS score, weight, verdict
+            FROM scored""",
+        "grade_distribution": f"{PS} SELECT CAST(score AS DOUBLE) AS score, count(*) AS n_pairs FROM scored GROUP BY 1",
+        "weight_distribution": f"{PS} SELECT weight, count(*) AS n_pairs FROM scored GROUP BY 1",
+        "mdm_verdicts": f"{PS} SELECT verdict, count(*) AS n_pairs FROM scored GROUP BY 1",
+        "block_stats": "WITH "
+        + ",".join([OS.FILES_CTE, OS.RECORDS_CTE, OS.KEYS_CTE])
+        + """, sz AS (SELECT family, blocking_key, count(*) AS n FROM keys GROUP BY 1, 2)
+           SELECT family, count(*) AS n_keys, max(n) AS max_block,
+                  CAST(sum(n * (n - 1) / 2) AS BIGINT) AS total_pair_candidates,
+                  CAST(sum(CASE WHEN n > 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_guarded_at_8
+           FROM sz GROUP BY family""",
+        "clusters": _CLUSTERS_SQL,
+        "completeness_tier": f"""{P},
+          w AS (
+            SELECT record_id,
+              CAST(
+                (CASE WHEN shape_sha IS NOT NULL AND shape_sha != '' THEN 10 ELSE 0 END)
+                + (CASE
+                     WHEN ((CASE WHEN norm_sha IS NOT NULL AND norm_sha != '' THEN 1 ELSE 0 END)
+                         + (CASE WHEN ins_member_sha IS NOT NULL AND ins_member_sha != '' THEN 1 ELSE 0 END)
+                         + (CASE WHEN ins_subscriber_sha IS NOT NULL AND ins_subscriber_sha != '' THEN 1 ELSE 0 END)) = 1 THEN 4
+                     WHEN ((CASE WHEN norm_sha IS NOT NULL AND norm_sha != '' THEN 1 ELSE 0 END)
+                         + (CASE WHEN ins_member_sha IS NOT NULL AND ins_member_sha != '' THEN 1 ELSE 0 END)
+                         + (CASE WHEN ins_subscriber_sha IS NOT NULL AND ins_subscriber_sha != '' THEN 1 ELSE 0 END)) > 1 THEN 5
+                     ELSE 0 END)
+                + (CASE WHEN stem IS NOT NULL AND stem != '' AND dir1 IS NOT NULL AND dir1 != '' THEN 3 ELSE 0 END)
+                + (CASE WHEN size_bucket IS NOT NULL THEN 2 ELSE 0 END)
+              AS INTEGER) AS weight,
+              (content_sha256 IS NOT NULL AND content_sha256 != '')
+                OR (stem IS NOT NULL AND stem != '' AND dir1 IS NOT NULL AND dir1 != '')
+                OR size_bucket IS NOT NULL AS base_valid
+            FROM records)
+          SELECT record_id, weight,
+            CASE WHEN weight >= 10 THEN 'L1' WHEN weight >= 9 THEN 'L0'
+                 WHEN base_valid THEN 'BASE' ELSE 'INVALID' END AS tier
+          FROM w""",
+        "ssn4_projection": f"{P} SELECT record_id, substr(norm_sha, 61, 4) AS ssn4 FROM records WHERE length(norm_sha) > 3",
+        "minhash_lsh_portable": _minhash_sql(),
+        "incremental_pairs": "WITH "
+        + ",".join([OS.FILES_CTE, OS.RECORDS_CTE, OS.KEYS_CTE])
+        + """,
+          cut AS (SELECT CAST(floor(max(doc_id) / 2.0) AS BIGINT) AS c FROM documents),
+          new_ids AS (SELECT record_id FROM records WHERE doc_id > (SELECT c FROM cut)),
+          nk AS (SELECT * FROM keys WHERE record_id IN (SELECT record_id FROM new_ids))
+          SELECT DISTINCT least(l.record_id, r.record_id) AS left_id,
+                          greatest(l.record_id, r.record_id) AS right_id
+          FROM nk l JOIN keys r
+            ON l.blocking_key = r.blocking_key AND l.record_id != r.record_id""",
+        "dedup_exact": "SELECT sha256(text) AS text_sha, min(doc_id) AS keep_doc_id, count(*) AS n_dups FROM documents GROUP BY 1",
+        "dedup_ngram_jaccard": f"""WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+          r2 AS (
+            SELECT doc_id,
+              lang || '|' || array_to_string(toks[1:2], ' ') AS bkey,
+              CASE WHEN len(toks) >= 3
+                THEN list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)])
+                ELSE [array_to_string(toks, ' ')] END AS sh
+            FROM t),
+          p AS (
+            SELECT l.doc_id AS a, r.doc_id AS b,
+                   round(CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)
+                         / len(list_distinct(list_concat(l.sh, r.sh))), 4) AS jaccard
+            FROM r2 l JOIN r2 r ON l.bkey = r.bkey AND l.doc_id < r.doc_id)
+          SELECT DISTINCT a, b, jaccard FROM p WHERE jaccard >= 0.5""",
+        "simhash": _simhash_sql(),
+        "fingerprint": f"""WITH t AS (
+            SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm FROM documents),
+          w AS (SELECT doc_id, norm, string_split(norm, ' ') AS words FROM t),
+          s AS (
+            SELECT doc_id,
+              CASE WHEN len(words) >= 3
+                THEN list_distinct([array_to_string(words[i:i+2], ' ') for i in range(1, len(words)-1)])
+                ELSE [norm] END AS sh
+            FROM w)
+          SELECT doc_id, list_min([{_H64.format(x='s')} for s in sh]) AS fingerprint FROM s""",
+        "lang_id": _lang_id_sql(),
+        "text_quality": f"""WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+          m AS (
+            SELECT doc_id,
+              len(toks) AS n_tokens,
+              length(text) AS n_chars,
+              length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+              len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS n_stop,
+              length(array_to_string(toks, '')) AS tok_chars
+            FROM t),
+          q AS (
+            SELECT doc_id, n_tokens,
+              CASE WHEN n_tokens > 0 THEN round(CAST(tok_chars AS DOUBLE) / n_tokens, 4) ELSE 0.0 END AS mean_token_len,
+              CASE WHEN n_chars > 0 THEN round(CAST(n_punct AS DOUBLE) / n_chars, 4) ELSE 0.0 END AS punct_ratio,
+              CASE WHEN n_tokens > 0 THEN round(CAST(n_stop AS DOUBLE) / n_tokens, 4) ELSE 0.0 END AS stopword_ratio
+            FROM m)
+          SELECT doc_id, n_tokens, mean_token_len, punct_ratio, stopword_ratio,
+            CAST(round(
+              (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 1.0 ELSE 0.0 END) * 0.5
+              + (CASE WHEN punct_ratio < 0.2 THEN 1.0 ELSE 0.0 END) * 0.25
+              + (CASE WHEN stopword_ratio > 0.01 THEN 1.0 ELSE 0.0 END) * 0.25, 4) AS DOUBLE) AS quality_score
+          FROM q""",
+        "token_count": f"""SELECT doc_id, len({_TOKS}) AS ws_tokens,
+            len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_pieces
+          FROM documents""",
+        "ann_cosine": """WITH e AS (
+            SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+          p AS (
+            SELECT a.vec_id AS a, b.vec_id AS b,
+              round(
+                list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)])
+                / (sqrt(list_sum([x * x for x in a.v])) * sqrt(list_sum([x * x for x in b.v]))),
+              4) AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE a.vec_id < 200 AND b.vec_id < 200)
+          SELECT a, b, cosine FROM p WHERE cosine >= 0.3""",
+        "ann_topk": """WITH e AS (
+            SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+          p AS (
+            SELECT a.vec_id AS a, b.vec_id AS b,
+              round(
+                list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)])
+                / (sqrt(list_sum([x * x for x in a.v])) * sqrt(list_sum([x * x for x in b.v]))),
+              4) AS cosine
+            FROM e a JOIN e b ON a.vec_id != b.vec_id
+            WHERE a.vec_id < 50),
+          rk AS (SELECT *, row_number() OVER (PARTITION BY a ORDER BY cosine DESC, b ASC) AS rank FROM p)
+          SELECT a, b, cosine, rank FROM rk WHERE rank <= 3""",
+        "agg_orders": """SELECT o_orderstatus,
+            count(*) AS n_orders,
+            CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price,
+            CAST(round(avg(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS avg_price,
+            count(DISTINCT o_custkey) AS n_customers
+          FROM orders GROUP BY 1""",
+        "region_revenue": """SELECT r_name,
+            CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue,
+            count(*) AS n_orders
+          FROM orders o
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN nation n ON c.c_nationkey = n.n_nationkey
+          JOIN region r ON n.n_regionkey = r.r_regionkey
+          GROUP BY 1""",
+        "topk_orders": """WITH rk AS (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+            FROM orders)
+          SELECT o_custkey, o_orderkey, o_totalprice, rk FROM rk WHERE rk <= 3""",
+        "union_dedup": """SELECT DISTINCT o_custkey FROM (
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+            UNION ALL SELECT o_custkey FROM orders WHERE o_totalprice > 200000)""",
+        "anti_incremental": """WITH cut AS (SELECT CAST(floor(max(event_id) / 2.0) AS BIGINT) AS c FROM events),
+          seen AS (SELECT DISTINCT user_id FROM events WHERE event_id <= (SELECT c FROM cut))
+          SELECT event_id, user_id, event_type FROM events
+          WHERE event_id > (SELECT c FROM cut)
+            AND user_id NOT IN (SELECT user_id FROM seen)""",
+        "registry_lookup": """SELECT COALESCE(r.lang_family, 'unknown') AS lang_family, count(*) AS n_docs
+          FROM documents d
+          LEFT JOIN (VALUES ('en','germanic'),('de','germanic'),('es','romance'),
+                            ('fr','romance'),('zh','sinitic')) r(lang, lang_family)
+            ON d.lang = r.lang
+          GROUP BY 1""",
+    }
+
+
+if __name__ == "__main__":
+    from identity_matching_spark.session import build_session
+
+    s = build_session("entry_smoke", cpus=8, shuffle_partitions=8)
+    df = entry(s)
+    print(df.count(), df.columns)
+    s.stop()

@@ -1,0 +1,100 @@
+"""Benchmark harness.
+
+Headline: the full linkage pipeline (normalize -> blocking -> score ->
+grade -> CC clustering) on the deterministic synthetic corpus sized to the
+scale factor, on local[$SPARK_GRAFT_CPUS]. Reports candidate-pairs-scored
+per second (the BASELINE.json throughput metric) plus per-query wall times
+for the headline operators over $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "e2e_pipeline_sec", "value": <sec>, "unit": "sec",
+   "queries": {...}, "sf": <sf>, "pairs_scored": N, "pairs_per_sec": N,
+   "cpus": N, "corpus_rows": N}
+
+Scaling-efficiency evidence (north_rule N vs 4N): run
+  SPARK_GRAFT_CPUS=8 python bench.py   and   SPARK_GRAFT_CPUS=32 python bench.py
+on the same input; see tools/bench_scaling.py which automates both and
+writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from identity_matching_spark.config import MatchConfig
+from identity_matching_spark.corpus import generate_files
+from identity_matching_spark.plans.pipeline import run_pipeline
+from identity_matching_spark.session import build_session
+
+# entities per sf: sf0.1 -> 60k entities (~134k files), comparable to the
+# sf0.1 lineitem scale the other queries run at.
+ENTITIES_PER_SF = 600_000
+
+
+def sf_of(sf_dir: str) -> float:
+    name = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def run_headline(spark, n_entities: int):
+    files = generate_files(spark, n_entities).drop("entity_id")
+    files = files.persist()
+    n_rows = files.count()  # materialize corpus outside the timed window
+    t0 = time.time()
+    res = run_pipeline(files, MatchConfig())
+    pairs_scored = res.scored_pairs.count()
+    n_clusters = res.clusters.select("cluster_id").distinct().count()
+    wall = time.time() - t0
+    files.unpersist()
+    return wall, pairs_scored, n_clusters, n_rows
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_of(sf_dir)
+    n_entities = max(200, int(ENTITIES_PER_SF * sf))
+
+    spark = build_session("bench", cpus=cpus)
+
+    wall, pairs_scored, n_clusters, n_rows = run_headline(spark, n_entities)
+
+    # headline operator queries over the driver-provided tables
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    qtimes = {}
+    for name in ("scored_pairs", "clusters", "dedup_exact", "minhash_lsh_portable",
+                 "ann_topk", "agg_orders", "region_revenue"):
+        t = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        qtimes[name] = round(time.time() - t, 3)
+
+    out = {
+        "metric": "e2e_pipeline_sec",
+        "value": round(wall, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": sf,
+        "corpus_rows": n_rows,
+        "pairs_scored": pairs_scored,
+        "pairs_per_sec": round(pairs_scored / wall, 1) if wall > 0 else None,
+        "n_clusters": n_clusters,
+        "cpus": cpus,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -54,21 +54,46 @@ def word_shingles(norm_text: Column, k: int) -> Column:
     )
 
 
+#: Mersenne prime 2^61-1 for the universal-hash family (a*h+b mod p).
+MINHASH_P = (1 << 61) - 1
+
+
+def minhash_coeffs(num_perm: int) -> list[tuple[int, int]]:
+    """Deterministic affine coefficients (a_i odd, both < 2^31).
+
+    a*h31 + b stays < 2^62 so the arithmetic never overflows a signed
+    64-bit integer — identical semantics in Spark (ANSI mode) and DuckDB.
+    """
+    return [
+        ((((2 * i + 1) * 2654435761) % 2147483647) | 1, (i * 40503 + 12345) % 2147483647)
+        for i in range(num_perm)
+    ]
+
+
 def minhash_signature(shingles: Column, num_perm: int, fast: bool = True) -> Column:
     """MinHash signature: array of num_perm bigints.
 
-    sig[i] = min over shingles of H(i || ':' || shingle). One pass per
-    permutation, all inside codegen (transform over a literal sequence +
-    array_min) — no shuffle, no Python.
+    Standard universal-hash formulation: each shingle is string-hashed
+    ONCE (the expensive part), then the i-th permutation is the affine
+    map (a_i * h31 + b_i) mod (2^61-1) — 1 string hash + num_perm
+    multiply-adds per shingle, all in whole-stage codegen. (The naive
+    per-permutation string hash re-evaluates the shingle-construction
+    subtree num_perm times because codegen cannot CSE across lambda
+    scopes — measured 30x slower.)
     """
     h = hash64_fast if fast else hash64_sha
+    base = F.transform(shingles, lambda s: h(s).bitwiseAND(F.lit(0x7FFFFFFF)))
+    coeffs = minhash_coeffs(num_perm)
 
-    def sig_i(i: Column) -> Column:
-        return F.array_min(
-            F.transform(shingles, lambda s: h(F.concat(i.cast("string"), F.lit(":"), s)))
-        )
+    def perms(x: Column) -> Column:
+        return F.array(*[(x * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P) for a, b in coeffs])
 
-    return F.transform(F.sequence(F.lit(0), F.lit(num_perm - 1)), sig_i)
+    # Single fold over the (expensive) base-hash array: the accumulator is
+    # the running component-wise minimum — base/shingles evaluate ONCE.
+    init = F.array_repeat(F.lit(MINHASH_P).cast("long"), num_perm)
+    return F.aggregate(
+        base, init, lambda acc, x: F.zip_with(acc, perms(x), lambda a, b: F.least(a, b))
+    )
 
 
 def lsh_band_keys(signature: Column, bands: int, rows_per_band: int, fast: bool = True) -> Column:

@@ -83,13 +83,23 @@ def blocking_keys(records: DataFrame, config: MatchConfig) -> DataFrame:
     ).select("record_id", "k.family", "k.blocking_key")
 
     if "minhash_lsh" in f:
-        shingles = word_shingles(F.col("norm_content"), config.shingle_words)
-        sig = minhash_signature(shingles, config.minhash_perms, fast=True)
-        bands = lsh_band_keys(sig, config.lsh_bands, config.lsh_rows_per_band, fast=True)
-        mh = records.select(
+        # Staged projections so the signature materializes once per row —
+        # CollapseProject will not re-inline a non-cheap expression that the
+        # next projection references multiple times (band slicing).
+        sig_df = records.select(
+            "record_id",
+            minhash_signature(
+                word_shingles(F.col("norm_content"), config.shingle_words),
+                config.minhash_perms,
+                fast=True,
+            ).alias("sig"),
+        )
+        mh = sig_df.select(
             "record_id",
             F.lit("minhash_lsh").alias("family"),
-            F.explode(bands).alias("blocking_key"),
+            F.explode(
+                lsh_band_keys(F.col("sig"), config.lsh_bands, config.lsh_rows_per_band, fast=True)
+            ).alias("blocking_key"),
         )
         keyed = keyed.unionByName(mh)
     return keyed
@@ -103,7 +113,12 @@ class BlockingResult:
 
 def candidate_pairs(records: DataFrame, config: MatchConfig) -> BlockingResult:
     """Union-of-families self-equi-join with guards; returns deduped pairs."""
-    keyed = blocking_keys(records, config)
+    from pyspark import StorageLevel
+
+    # keyed feeds three consumers (size count + both join sides) — persist
+    # so key derivation (incl. MinHash) runs once. At cluster scale this is
+    # the derived blocking-key table an Iceberg deployment would write out.
+    keyed = blocking_keys(records, config).persist(StorageLevel.MEMORY_AND_DISK)
 
     # One shuffle on blocking_key serves the size count AND the self-join.
     sizes = keyed.groupBy("family", "blocking_key").agg(F.count("*").alias("n_records"))

@@ -84,7 +84,7 @@ def normalize_files(files: DataFrame) -> DataFrame:
         norm_content.alias("norm_content"),
         stem.alias("stem"),
         ext.alias("ext"),
-        F.element_at(dir_tokens, 1).alias("dir1"),
+        F.when(F.size(dir_tokens) >= 1, F.element_at(dir_tokens, 1)).alias("dir1"),
         F.when(F.size(dir_tokens) >= 2, F.element_at(dir_tokens, 2)).alias("dir2"),
         F.when(F.size(dir_tokens) >= 1, F.element_at(dir_tokens, -1)).alias("parent_dir"),
         F.floor(F.length(norm_content) / F.lit(32)).cast("long").alias("size_bucket"),

@@ -1,0 +1,220 @@
+"""DuckDB oracle SQL for the driver's correctness gate.
+
+Every SQL-expressible operator in ``queries.py`` has a twin here built
+over the SAME deterministic documents->files mapping and the SAME
+derived-attribute expressions (see operators/normalize.py). The grade
+CASE cascade is generated from one flag list shared with the Spark side
+so the two decision tables cannot drift.
+
+DuckDB dialect notes (vs Spark SQL): regexp_replace needs the 'g' flag
+for replace-all; sha256(x) == Spark sha2(x, 256); string_split is the
+split; list comprehensions replace transform().
+"""
+
+from __future__ import annotations
+
+# ---------------------------------------------------------------------------
+# documents -> files -> records (keep in sync with sources/tables.py
+# files_from_documents and operators/normalize.py normalize_files)
+# ---------------------------------------------------------------------------
+
+FILES_CTE = r"""
+files AS (
+  SELECT
+    doc_id,
+    'org' || CAST(doc_id % 13 AS VARCHAR) AS repo,
+    source || '/' || lang || '/' ||
+      regexp_replace(
+        array_to_string(string_split_regex(trim(text), '\s+')[1:2], '_'),
+        '[^a-zA-Z0-9_]', '_', 'g')
+      || '_' || CAST(doc_id % 7 AS VARCHAR) || '.txt' AS path,
+    substr(sha256(CAST(doc_id AS VARCHAR)), 1, 40) AS commit,
+    lang,
+    text AS content
+  FROM documents
+)
+"""
+
+RECORDS_CTE = r"""
+base AS (
+  SELECT *,
+    trim(regexp_replace(lower(content), '\s+', ' ', 'g')) AS norm_content,
+    string_split(path, '/') AS parts,
+    string_split(path, '/')[-1] AS filename,
+    list_filter([trim(y) for y in string_split(content, chr(10))], x -> x != '') AS tlines
+  FROM files
+),
+records AS (
+  SELECT
+    doc_id,
+    sha256(concat_ws(chr(31), repo, path, commit)) AS record_id,
+    repo, path, commit, lang, content, norm_content,
+    lower(trim(lang)) AS lang_norm,
+    sha256(content) AS content_sha256,
+    sha256(concat_ws(chr(31), repo, path)) AS file_id,
+    sha256(norm_content) AS norm_sha,
+    regexp_replace(filename, '\.[^.]*$', '') AS stem,
+    lower(regexp_extract(filename, '\.([^.]*)$', 1)) AS ext,
+    CASE WHEN len(parts) >= 2 THEN parts[1] END AS dir1,
+    CASE WHEN len(parts) >= 3 THEN parts[2] END AS dir2,
+    CASE WHEN len(parts) >= 2 THEN parts[len(parts) - 1] END AS parent_dir,
+    CAST(floor(length(norm_content) / 32) AS BIGINT) AS size_bucket,
+    sha256(trim(string_split(content, chr(10))[1])) AS first_line_sha,
+    sha256(trim(string_split(content, chr(10))[-1])) AS last_line_sha,
+    list_distinct([substr(sha256(x), 1, 16) for x in tlines]) AS line_hashes,
+    sha256(array_to_string(list_sort(list_distinct(tlines)), chr(10))) AS sorted_lines_sha,
+    sha256(regexp_replace(content, '[A-Za-z_][A-Za-z0-9_]*', 'ID', 'g')) AS shape_sha,
+    sha256(concat_ws(chr(31), repo,
+        lower(regexp_replace(filename, '\.[^.]*$', '')))) AS ins_member_sha,
+    sha256(concat_ws(chr(31), lower(trim(lang)),
+        regexp_replace(path, '/[^/]*$', ''))) AS ins_subscriber_sha
+  FROM base
+)
+"""
+
+# SQL-expressible blocking families (soundex/minhash-fast have no DuckDB
+# twin; the portable-minhash query carries its own SQL).
+KEYS_CTE = r"""
+keys AS (
+  SELECT record_id, 'content_sha' AS family, 'sha:' || content_sha256 AS blocking_key FROM records
+  UNION ALL
+  SELECT record_id, 'file_id', 'fid:' || file_id FROM records
+  UNION ALL
+  SELECT record_id, 'norm_sha', 'nsha:' || norm_sha FROM records
+  UNION ALL
+  SELECT record_id, 'name_prefix',
+         'np:' || lang_norm || '|' || substr(lower(trim(stem)), 1, 4) FROM records
+)
+"""
+
+PAIRS_CTE = r"""
+pairs AS (
+  SELECT DISTINCT l.record_id AS left_id, r.record_id AS right_id
+  FROM keys l JOIN keys r
+    ON l.blocking_key = r.blocking_key AND l.record_id < r.record_id
+)
+"""
+
+PRELUDE = "WITH " + ",".join([FILES_CTE, RECORDS_CTE])
+PRELUDE_PAIRS = "WITH " + ",".join([FILES_CTE, RECORDS_CTE, KEYS_CTE, PAIRS_CTE])
+
+
+# ---------------------------------------------------------------------------
+# Comparator flags + decision table, generated from one shared spec.
+# (name, sql_expr_template) — templates use l.<col>/r.<col>.
+# ---------------------------------------------------------------------------
+
+def _eq(c: str) -> str:
+    return f"(l.{c} IS NOT NULL AND r.{c} IS NOT NULL AND l.{c} = r.{c})"
+
+
+FLAG_SQL: dict[str, str] = {
+    "mrn_match": _eq("content_sha256"),
+    "digital_id_match": _eq("file_id"),
+    "ssn_match": _eq("norm_sha"),
+    "ssn_last4_match": "(substr(l.norm_sha, 61, 4) = substr(r.norm_sha, 61, 4))",
+    "drivers_license_match": _eq("sorted_lines_sha"),
+    "passport_match": _eq("shape_sha"),
+    "insurance_member_match": _eq("ins_member_sha"),
+    "insurance_subscriber_match": _eq("ins_subscriber_sha"),
+    "family_name_match": _eq("stem"),
+    "first_name_match": _eq("dir1"),
+    "middle_name_match": _eq("dir2"),
+    "middle_initial_match": (
+        "(l.dir2 IS NOT NULL AND r.dir2 IS NOT NULL"
+        " AND (length(l.dir2) = 1 OR length(r.dir2) = 1)"
+        " AND substr(l.dir2, 1, 1) = substr(r.dir2, 1, 1))"
+    ),
+    "birth_sex_match": _eq("lang_norm"),
+    "birth_date_match": _eq("size_bucket"),
+    "phone_match": _eq("first_line_sha"),
+    "email_match": _eq("last_line_sha"),
+    "address_line_match": (
+        "(l.line_hashes IS NOT NULL AND r.line_hashes IS NOT NULL"
+        " AND list_has_any(l.line_hashes, r.line_hashes))"
+    ),
+    "address_city_match": _eq("parent_dir"),
+    "address_state_match": _eq("ext"),
+    "address_postal_match": (
+        "(l.stem IS NOT NULL AND r.stem IS NOT NULL"
+        " AND substr(l.stem, 1, 5) = substr(r.stem, 1, 5))"
+    ),
+}
+
+
+def flags_select_sql() -> str:
+    return ",\n    ".join(
+        f"COALESCE({expr}, FALSE) AS {name}" for name, expr in FLAG_SQL.items()
+    )
+
+
+def score_case_sql(prefix: str = "") -> str:
+    """The reference decision table (IdentityMatchingScorer.java:38-69) as a
+    CASE cascade over already-computed flag columns."""
+    p = prefix
+    ff = f"({p}first_name_match AND {p}family_name_match)"
+    ffd = f"({ff} AND {p}birth_date_match)"
+    return f"""CASE
+      WHEN ({p}mrn_match OR {p}digital_id_match)
+        OR ({ff} AND {p}drivers_license_match)
+        OR ({ff} AND {p}passport_match)
+        OR ({ff} AND {p}insurance_member_match)
+        OR ({ffd} AND {p}insurance_subscriber_match)
+        OR ({ff} AND {p}ssn_match) THEN 0.99
+      WHEN ({ff} AND {p}insurance_subscriber_match)
+        OR ({ffd} AND {p}address_line_match AND {p}address_postal_match)
+        OR ({ffd} AND {p}address_line_match AND {p}address_city_match AND {p}address_state_match)
+        OR ({ffd} AND {p}email_match) THEN 0.80
+      WHEN ({ffd} AND {p}birth_sex_match AND {p}ssn_last4_match)
+        OR ({ffd} AND {p}birth_sex_match AND {p}phone_match)
+        OR ({ffd} AND {p}birth_sex_match AND {p}address_postal_match)
+        OR ({ffd} AND {p}birth_sex_match AND {p}middle_name_match)
+        OR ({ffd} AND {p}phone_match) THEN 0.70
+      WHEN ({ffd} AND {p}birth_sex_match AND {p}middle_initial_match)
+        OR ({ffd} AND {p}birth_sex_match)
+        OR {ffd} THEN 0.60
+      ELSE 0.10 END"""
+
+
+def weight_case_sql(p: str = "") -> str:
+    """IdentityMatchingScorer.java:71-89."""
+    return f"""(
+      CASE WHEN {p}passport_match THEN 10 ELSE 0 END
+      + CASE WHEN {p}drivers_license_match THEN 10 ELSE 0 END
+      + CASE WHEN ({p}address_line_match AND {p}address_postal_match)
+          OR ({p}address_city_match AND {p}address_state_match)
+          OR {p}phone_match OR {p}email_match OR {p}ssn_match
+          OR {p}insurance_subscriber_match OR {p}mrn_match THEN 5 ELSE 0 END
+      + CASE WHEN {p}first_name_match AND {p}family_name_match THEN 3 ELSE 0 END
+      + CASE WHEN {p}birth_date_match THEN 2 ELSE 0 END
+    )"""
+
+
+def verdict_case_sql(p: str = "") -> str:
+    """mdm-rules.json:43-46."""
+    return (
+        f"CASE WHEN {p}first_name_match AND {p}family_name_match THEN 'MATCH' "
+        f"WHEN {p}first_name_match THEN 'POSSIBLE_MATCH' ELSE 'NO_MATCH' END"
+    )
+
+
+SCORED_PAIRS_CTE = f"""
+flagged AS (
+  SELECT p.left_id, p.right_id,
+    {flags_select_sql()}
+  FROM pairs p
+  JOIN records l ON p.left_id = l.record_id
+  JOIN records r ON p.right_id = r.record_id
+),
+scored AS (
+  SELECT *,
+    {score_case_sql()} AS score,
+    CAST({weight_case_sql()} AS INTEGER) AS weight,
+    {verdict_case_sql()} AS verdict
+  FROM flagged
+)
+"""
+
+PRELUDE_SCORED = "WITH " + ",".join(
+    [FILES_CTE, RECORDS_CTE, KEYS_CTE, PAIRS_CTE, SCORED_PAIRS_CTE]
+)

@@ -1,0 +1,487 @@
+"""Driver-facing query registry: one callable per implemented operator
+(SURVEY.md §2), each with a DuckDB oracle twin in ``oracle_sql.py``.
+
+All ER queries run over ``files_from_documents(documents)`` — the
+deterministic mapping of the driver's generic documents table into the
+corpus shape — restricted to the SQL-expressible blocking families so
+the DuckDB twin derives the *identical* pair set. Soundex / fast-MinHash
+families are exercised by the synthetic-corpus pytest suite instead
+(no DuckDB twin exists for those hashes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from identity_matching_spark.config import MatchConfig
+from identity_matching_spark.functions.hashing import (
+    MINHASH_P,
+    hash64_sha,
+    lsh_band_keys,
+    minhash_signature,
+    simhash64,
+    word_shingles,
+)
+from identity_matching_spark.functions.normalize import hapi_norm, tokens_of
+from identity_matching_spark.operators.blocking import blocking_keys
+from identity_matching_spark.operators.cluster import (
+    clusters_with_singletons,
+    connected_components,
+)
+from identity_matching_spark.operators.compare import compare_pairs
+from identity_matching_spark.operators.grade import grade_pairs
+from identity_matching_spark.operators.normalize import normalize_files
+from identity_matching_spark.sources.tables import files_from_documents, load_table
+
+# SQL-checkable configuration: families DuckDB can reproduce; guards off so
+# the pair set is exactly the uncapped union (guard logic is pytest-covered).
+SQL_CONFIG = MatchConfig(
+    blocking_families=("content_sha", "file_id", "norm_sha", "name_prefix"),
+    max_block_size=1_000_000_000,
+    identity_star_threshold=1_000_000_000,
+)
+
+RECORD_SCALAR_COLS = [
+    "record_id", "repo", "path", "commit", "lang_norm", "content_sha256",
+    "file_id", "norm_sha", "stem", "ext", "dir1", "dir2", "parent_dir",
+    "size_bucket", "first_line_sha", "last_line_sha", "sorted_lines_sha",
+    "shape_sha", "ins_member_sha", "ins_subscriber_sha",
+]
+
+
+def _records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return normalize_files(files_from_documents(load_table(spark, sf_dir, "documents")))
+
+
+def _pairs(spark: SparkSession, sf_dir: str):
+    records = _records(spark, sf_dir)
+    keyed = blocking_keys(records, SQL_CONFIG)
+    l = keyed.select("blocking_key", F.col("record_id").alias("left_id"))
+    r = keyed.select("blocking_key", F.col("record_id").alias("right_id"))
+    pairs = (
+        l.join(r, "blocking_key")
+        .filter(F.col("left_id") < F.col("right_id"))
+        .select("left_id", "right_id")
+        .dropDuplicates(["left_id", "right_id"])
+    )
+    return records, pairs
+
+
+def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    records, pairs = _pairs(spark, sf_dir)
+    return grade_pairs(compare_pairs(pairs, records))
+
+
+# --- ER core -----------------------------------------------------------------
+
+
+def q_normalize(spark, sf_dir):
+    """P2/P7/P9/F1-F11: derived-attribute projection (normalize stage)."""
+    return _records(spark, sf_dir).select(*RECORD_SCALAR_COLS)
+
+
+def q_blocking_keys(spark, sf_dir):
+    """J1/J4 key derivation for the SQL-expressible families."""
+    return blocking_keys(_records(spark, sf_dir), SQL_CONFIG).select(
+        "record_id", "family", "blocking_key"
+    )
+
+
+def q_candidate_pairs(spark, sf_dir):
+    """J1 self-equi-join + A4 dedup (candidates found under >=1 key)."""
+    _, pairs = _pairs(spark, sf_dir)
+    return pairs
+
+
+def q_scored_pairs(spark, sf_dir):
+    """J3+C1-C13+G1-G3: the flagship — full comparator vector, grade,
+    weight, verdict for every candidate pair."""
+    return _scored(spark, sf_dir)
+
+
+def q_grade_distribution(spark, sf_dir):
+    """A2-style aggregate over G1 output."""
+    return (
+        _scored(spark, sf_dir)
+        .groupBy("score")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+def q_weight_distribution(spark, sf_dir):
+    """G2 completeness-weight histogram."""
+    return _scored(spark, sf_dir).groupBy("weight").agg(F.count("*").alias("n_pairs"))
+
+
+def q_mdm_verdicts(spark, sf_dir):
+    """G3 verdict-map counts."""
+    return _scored(spark, sf_dir).groupBy("verdict").agg(F.count("*").alias("n_pairs"))
+
+
+def q_block_stats(spark, sf_dir):
+    """Per-family blocking statistics incl. the pair-explosion guard
+    classification at a small threshold (SURVEY.md §4.2: no silent caps)."""
+    keyed = blocking_keys(_records(spark, sf_dir), SQL_CONFIG)
+    sizes = keyed.groupBy("family", "blocking_key").agg(F.count("*").alias("n"))
+    return sizes.groupBy("family").agg(
+        F.count("*").alias("n_keys"),
+        F.max("n").alias("max_block"),
+        F.sum(F.expr("n * (n - 1) / 2")).cast("long").alias("total_pair_candidates"),
+        F.sum(F.when(F.col("n") > 8, 1).otherwise(0)).cast("long").alias("n_guarded_at_8"),
+    )
+
+
+def q_clusters(spark, sf_dir):
+    """A5: transitive clustering (large-star/small-star CC) of match edges
+    (score >= 0.80) incl. singleton clusters; cluster_id = min record_id."""
+    records, pairs = _pairs(spark, sf_dir)
+    scored = grade_pairs(compare_pairs(pairs, records))
+    edges = scored.filter(F.col("score") >= 0.80).select("left_id", "right_id")
+    return clusters_with_singletons(records, connected_components(edges, SQL_CONFIG))
+
+
+def q_completeness_tier(spark, sf_dir):
+    """P3/P4: weighted input-completeness validation tiers
+    (IdentityMatching.java:48-50, weights IdentityMatchingScorer.java:71-89)."""
+    r = _records(spark, sf_dir)
+    present = lambda c: F.col(c).isNotNull() & (F.col(c) != "")  # noqa: E731
+    n_other = (
+        present("norm_sha").cast("int")
+        + present("ins_member_sha").cast("int")
+        + present("ins_subscriber_sha").cast("int")
+    )
+    weight = (
+        F.when(present("shape_sha"), 10).otherwise(0)
+        + F.when(n_other == 1, 4).when(n_other > 1, 5).otherwise(0)
+        + F.when(present("stem") & present("dir1"), 3).otherwise(0)
+        + F.when(F.col("size_bucket").isNotNull(), 2).otherwise(0)
+    ).cast("int")
+    base_valid = (
+        present("content_sha256")
+        | (present("stem") & present("dir1"))
+        | F.col("size_bucket").isNotNull()
+    )
+    return r.select(
+        "record_id",
+        weight.alias("weight"),
+        F.when(weight >= 10, "L1")
+        .when(weight >= 9, "L0")
+        .when(base_valid, "BASE")
+        .otherwise("INVALID")
+        .alias("tier"),
+    )
+
+
+def q_ssn4_projection(spark, sf_dir):
+    """P9/C2: derived last-4 search key (SearchParameter-patient-ssn4 analog)."""
+    return (
+        _records(spark, sf_dir)
+        .filter(F.length("norm_sha") > 3)
+        .select("record_id", F.substring("norm_sha", 61, 4).alias("ssn4"))
+    )
+
+
+def q_minhash_lsh_portable(spark, sf_dir):
+    """MinHash-LSH band keys with the portable sha-based hash (the
+    oracle-checkable twin of the fast xxhash64 family used in blocking)."""
+    r = _records(spark, sf_dir)
+    cfg = SQL_CONFIG
+    sig_df = r.select(
+        "record_id",
+        minhash_signature(
+            word_shingles(F.col("norm_content"), cfg.shingle_words),
+            cfg.minhash_perms,
+            fast=False,
+        ).alias("sig"),
+    )
+    return sig_df.select(
+        "record_id",
+        F.explode(
+            lsh_band_keys(F.col("sig"), cfg.lsh_bands, cfg.lsh_rows_per_band, fast=False)
+        ).alias("blocking_key"),
+    )
+
+
+def q_incremental_pairs(spark, sf_dir):
+    """Incremental linkage (SURVEY.md §2.9): candidate pairs touching only
+    NEW records (record not in the processed half), linear in the delta."""
+    records = _records(spark, sf_dir)
+    keyed = blocking_keys(records, SQL_CONFIG)
+    docs = load_table(spark, sf_dir, "documents")
+    cutoff = docs.agg(F.floor(F.max("doc_id") / 2.0).cast("long").alias("c")).collect()[0]["c"]
+    new_files = files_from_documents(docs.filter(F.col("doc_id") > cutoff))
+    new_ids = normalize_files(new_files).select("record_id")
+    new_keyed = keyed.join(new_ids, "record_id", "left_semi")
+    l = new_keyed.select("blocking_key", F.col("record_id").alias("left_id"))
+    r = keyed.select("blocking_key", F.col("record_id").alias("right_id"))
+    return (
+        l.join(r, "blocking_key")
+        .filter(F.col("left_id") != F.col("right_id"))
+        .select(
+            F.least("left_id", "right_id").alias("left_id"),
+            F.greatest("left_id", "right_id").alias("right_id"),
+        )
+        .dropDuplicates(["left_id", "right_id"])
+    )
+
+
+# --- training-data pipeline operators over documents -------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: keep min doc_id per sha256(text) (hash-groupBy)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.sha2(F.col("text"), 256).alias("text_sha"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """N-gram Jaccard near-dup: word-3-shingle Jaccard >= 0.5 on pairs
+    sharing a (lang, first-2-token) block."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens_of(F.col("text"))
+    recs = d.select(
+        "doc_id",
+        F.concat(F.col("lang"), F.lit("|"), F.array_join(F.slice(toks, 1, 2), " ")).alias("bkey"),
+        F.when(
+            F.size(toks) >= 3,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.greatest(F.size(toks) - 3, F.lit(0))),
+                    lambda i: F.array_join(F.slice(toks, i + 1, 3), " "),
+                )
+            ),
+        ).otherwise(F.array(F.array_join(toks, " "))).alias("sh"),
+    )
+    l = recs.select(F.col("doc_id").alias("a"), F.col("bkey"), F.col("sh").alias("sa"))
+    r = recs.select(F.col("doc_id").alias("b"), F.col("bkey"), F.col("sh").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size(F.array_union("sa", "sb"))
+    return (
+        l.join(r, "bkey")
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "a", "b",
+            F.round(inter / union, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .dropDuplicates(["a", "b"])
+    )
+
+
+def q_simhash(spark, sf_dir):
+    """SimHash document fingerprint (portable sha-based bit voting)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash64(tokens_of(F.col("text")), fast=False).alias("simhash"))
+
+
+def q_fingerprint(spark, sf_dir):
+    """Document fingerprint: min portable hash over word-3-shingles
+    (rolling-hash winnowing baseline)."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    sh = word_shingles(norm, 3)
+    return d.select(
+        "doc_id", F.array_min(F.transform(sh, lambda s: hash64_sha(s))).alias("fingerprint")
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    """Language-ID heuristic: stopword-hit counts per language, argmax with
+    deterministic tie order (en > de > es > fr > zh)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens_of(F.col("text"))
+    sets = {
+        "en": ["the", "a", "of", "and", "to", "in", "is"],
+        "de": ["der", "die", "das", "und", "ist", "ein"],
+        "es": ["el", "la", "de", "y", "es", "un"],
+        "fr": ["le", "la", "de", "et", "est", "un"],
+        "zh": ["de", "shi", "le", "zai", "he"],
+    }
+    cnt = {
+        k: F.size(F.filter(toks, lambda t: t.isin(*v))).alias(f"c_{k}")
+        for k, v in sets.items()
+    }
+    df = d.select("doc_id", "lang", *cnt.values())
+    c = lambda k: F.col(f"c_{k}")  # noqa: E731
+    pred = (
+        F.when((c("en") >= c("de")) & (c("en") >= c("es")) & (c("en") >= c("fr")) & (c("en") >= c("zh")), "en")
+        .when((c("de") >= c("es")) & (c("de") >= c("fr")) & (c("de") >= c("zh")), "de")
+        .when((c("es") >= c("fr")) & (c("es") >= c("zh")), "es")
+        .when(c("fr") >= c("zh"), "fr")
+        .otherwise("zh")
+    )
+    return df.select("doc_id", "lang", pred.alias("pred_lang"))
+
+
+def q_text_quality(spark, sf_dir):
+    """Quality scoring: token count, mean token length, punctuation ratio,
+    stopword ratio, composite score (training-data filter primitives)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens_of(F.col("text"))
+    n_tok = F.size(toks)
+    n_chars = F.length("text")
+    n_punct = n_chars - F.length(F.regexp_replace(F.col("text"), r"[^\w\s]", ""))
+    stop = F.size(F.filter(toks, lambda t: t.isin("the", "a", "of", "and", "to", "in", "is")))
+    mean_tok = F.when(n_tok > 0, F.round(F.length(F.array_join(toks, "")) / n_tok, 4)).otherwise(0.0)
+    punct_ratio = F.when(n_chars > 0, F.round(n_punct / n_chars, 4)).otherwise(0.0)
+    stop_ratio = F.when(n_tok > 0, F.round(stop / n_tok, 4)).otherwise(0.0)
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        mean_tok.alias("mean_token_len"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        F.round(
+            F.when((n_tok >= 10) & (n_tok <= 100000), 1.0).otherwise(0.0) * 0.5
+            + F.when(punct_ratio < 0.2, 1.0).otherwise(0.0) * 0.25
+            + F.when(stop_ratio > 0.01, 1.0).otherwise(0.0) * 0.25,
+            4,
+        ).alias("quality_score"),
+    )
+
+
+def q_token_count(spark, sf_dir):
+    """Token counting: whitespace tokens + BPE-ish regex piece count."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(tokens_of(F.col("text"))).alias("ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")).alias(
+            "bpe_pieces"
+        ),
+    )
+
+
+def q_ann_cosine(spark, sf_dir):
+    """Brute-force cosine similarity pairs (vec_id<200 probe set) with
+    sim >= 0.3, double-precision dot product via zip_with/aggregate."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    a = e.select(F.col("vec_id").alias("a"), F.col("v").alias("va")).filter(F.col("a") < 200)
+    b = e.select(F.col("vec_id").alias("b"), F.col("v").alias("vb")).filter(F.col("b") < 200)
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.sqrt(F.aggregate(F.transform("va", lambda x: x * x), F.lit(0.0), lambda a_, x: a_ + x))
+    nb = F.sqrt(F.aggregate(F.transform("vb", lambda x: x * x), F.lit(0.0), lambda a_, x: a_ + x))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", F.round(dot / (na * nb), 4).alias("cosine"))
+        .filter(F.col("cosine") >= 0.3)
+    )
+
+
+def q_ann_topk(spark, sf_dir):
+    """Top-3 cosine neighbors per probe vector (vec_id<50) — window top-k.
+
+    LSH/IVF-bucketed variant is the scale path (operators/similarity.py);
+    brute force is the correctness baseline.
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    a = e.select(F.col("vec_id").alias("a"), F.col("v").alias("va")).filter(F.col("a") < 50)
+    b = e.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.sqrt(F.aggregate(F.transform("va", lambda x: x * x), F.lit(0.0), lambda a_, x: a_ + x))
+    nb = F.sqrt(F.aggregate(F.transform("vb", lambda x: x * x), F.lit(0.0), lambda a_, x: a_ + x))
+    sims = (
+        a.crossJoin(b)
+        .filter(F.col("a") != F.col("b"))
+        .select("a", "b", F.round(dot / (na * nb), 4).alias("cosine"))
+    )
+    w = Window.partitionBy("a").orderBy(F.desc("cosine"), F.asc("b"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("a", "b", "cosine", "rank")
+    )
+
+
+# --- generic relational operators (S/J/A/O rows of SURVEY.md §2) -------------
+
+
+def q_agg_orders(spark, sf_dir):
+    """A2-style aggregation: per-status order stats."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
+
+
+def q_region_revenue(spark, sf_dir):
+    """J2-style broadcast-dim join chain: revenue by region."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"), F.count("*").alias("n_orders"))
+    )
+
+
+def q_topk_orders(spark, sf_dir):
+    """O2 enforcement analog: top-3 orders per customer (window top-k)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+def q_union_dedup(spark, sf_dir):
+    """O5: union of per-key candidate sets + dedup."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.filter(F.col("o_totalprice") > 200000).select("o_custkey")
+    return a.union(b).distinct()
+
+
+def q_anti_incremental(spark, sf_dir):
+    """Anti-join incremental: events from users not seen in the first half
+    of the stream (snapshot delta processing)."""
+    e = load_table(spark, sf_dir, "events")
+    cutoff = e.agg(F.floor(F.max("event_id") / 2.0).cast("long").alias("c")).collect()[0]["c"]
+    seen = e.filter(F.col("event_id") <= cutoff).select("user_id").distinct()
+    return (
+        e.filter(F.col("event_id") > cutoff)
+        .join(seen, "user_id", "left_anti")
+        .select("event_id", "user_id", "event_type")
+    )
+
+
+def q_registry_lookup(spark, sf_dir):
+    """S4/J2: small static registry broadcast-joined (identifier-registry
+    analog: uri -> type code; here lang -> family name)."""
+    d = load_table(spark, sf_dir, "documents")
+    registry = spark.createDataFrame(
+        [("en", "germanic"), ("de", "germanic"), ("es", "romance"),
+         ("fr", "romance"), ("zh", "sinitic")],
+        ["lang", "lang_family"],
+    )
+    return (
+        d.join(F.broadcast(registry), "lang", "left")
+        .groupBy(F.coalesce("lang_family", F.lit("unknown")).alias("lang_family"))
+        .agg(F.count("*").alias("n_docs"))
+    )
