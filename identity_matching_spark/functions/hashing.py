@@ -120,7 +120,7 @@ def simhash64(tokens: Column, fast: bool = True) -> Column:
     transform/aggregate/shiftright — stays in whole-stage codegen.
     """
     h = hash64_fast if fast else hash64_sha
-    hashes = F.transform(tokens, h)
+    hashes = F.transform(tokens, lambda t: h(t))
 
     def vote(b):
         return F.aggregate(

@@ -132,10 +132,13 @@ def candidate_pairs(records: DataFrame, config: MatchConfig) -> BlockingResult:
         F.when(starred, F.lit("star")).otherwise(F.lit("dropped")),
     )
 
+    hot = (~star_eligible) & (~oversized) & (F.col("n_records") > F.lit(config.salt_buckets * 8))
+
     keyed_sized = keyed.join(
         F.broadcast(
-            sizes.filter(oversized | starred).select("blocking_key", "family",
-                                                     starred.alias("is_star"))
+            sizes.filter(oversized | starred | hot).select(
+                "blocking_key", "family", starred.alias("is_star"), hot.alias("is_hot")
+            )
         ),
         ["family", "blocking_key"],
         "left",
@@ -143,6 +146,7 @@ def candidate_pairs(records: DataFrame, config: MatchConfig) -> BlockingResult:
 
     quad = keyed_sized.filter(F.col("is_star").isNull()).select("blocking_key", "record_id")
     star = keyed_sized.filter(F.col("is_star") == True).select("blocking_key", "record_id")  # noqa: E712
+    hot_rows = keyed_sized.filter(F.col("is_hot") == True).select("blocking_key", "record_id")  # noqa: E712
 
     l, r = quad.alias("l"), quad.alias("r")
     quad_pairs = (
@@ -150,6 +154,30 @@ def candidate_pairs(records: DataFrame, config: MatchConfig) -> BlockingResult:
         .filter(F.col("l.record_id") < F.col("r.record_id"))
         .select(F.col("l.record_id").alias("left_id"), F.col("r.record_id").alias("right_id"))
     )
+
+    # Hot-key salting (SURVEY.md §4.1): keys below the cap but big enough to
+    # make one post-shuffle task a straggler get the classic replicate-probe
+    # treatment — left side hashed into S salt buckets, right side replicated
+    # to every bucket, join key widened to (blocking_key, salt). A hot key's
+    # n^2/2 pair generation then spreads over S tasks instead of one.
+    # (AQE skew-join stays on as backstop for everything else.)
+    S = config.salt_buckets
+    salted_l = hot_rows.select(
+        "blocking_key",
+        F.col("record_id").alias("lid"),
+        F.pmod(F.xxhash64("record_id"), F.lit(S)).cast("int").alias("salt"),
+    )
+    salted_r = hot_rows.select(
+        "blocking_key",
+        F.col("record_id").alias("rid"),
+        F.explode(F.sequence(F.lit(0).cast("int"), F.lit(S - 1).cast("int"))).alias("salt"),
+    )
+    hot_pairs = (
+        salted_l.join(salted_r, ["blocking_key", "salt"])
+        .filter(F.col("lid") < F.col("rid"))
+        .select(F.col("lid").alias("left_id"), F.col("rid").alias("right_id"))
+    )
+    quad_pairs = quad_pairs.unionByName(hot_pairs)
 
     # Star expansion: hub = min(record_id) per oversized identity block.
     hubs = star.groupBy("blocking_key").agg(F.min("record_id").alias("hub"))

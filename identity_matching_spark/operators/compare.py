@@ -121,3 +121,78 @@ def compare_pairs(pairs: DataFrame, records: DataFrame) -> DataFrame:
         *[F.coalesce(expr, F.lit(False)).alias(name) for name, expr in flags.items()],
     )
     return out
+
+
+# --- fuzzy extension (C14-C16) ----------------------------------------------
+
+PHONETIC_COLS = ["cologne_dir1", "soundex_stem", "metaphone_stem"]
+
+
+def enrich_phonetic(records: DataFrame) -> DataFrame:
+    """Per-RECORD phonetic encodings (linear work, computed once — never
+    per pair): COLOGNE on the given-name analog, SOUNDEX/METAPHONE on the
+    family-name analog (mdm-rules.json:25-42)."""
+    from identity_matching_spark.functions.normalize import hapi_norm
+    from identity_matching_spark.functions.phonetic import cologne_udf, metaphone_udf
+
+    return records.select(
+        "*",
+        cologne_udf(hapi_norm(F.col("dir1"))).alias("cologne_dir1"),
+        F.soundex(hapi_norm(F.col("stem"))).alias("soundex_stem"),
+        metaphone_udf(hapi_norm(F.col("stem"))).alias("metaphone_stem"),
+    )
+
+
+FUZZY_FLAG_NAMES = [
+    "cologne_given_match", "soundex_family_match", "metaphone_family_match",
+    "jw_family_match", "lev_family_match",
+]
+
+
+def compare_pairs_fuzzy(pairs: DataFrame, records: DataFrame, config) -> DataFrame:
+    """Exact flag vector + fuzzy comparator flags.
+
+    Phonetic-equality flags compare precomputed record attributes (cheap);
+    Jaro-Winkler runs in a batched pandas UDF over the pair's stems, and
+    Levenshtein-ratio stays a builtin Column (C16). Fuzzy columns append
+    AFTER the exact flags so the exact schema/decision table is unchanged.
+    """
+    from identity_matching_spark.functions.similarity import (
+        jaro_winkler_udf,
+        levenshtein_ratio,
+    )
+
+    enriched = enrich_phonetic(records)
+    cols = ATTR_COLS + PHONETIC_COLS
+    lhs = enriched.select([F.col(c).alias(f"l_{c}") for c in cols])
+    rhs = enriched.select([F.col(c).alias(f"r_{c}") for c in cols])
+    attached = (
+        pairs.join(lhs, pairs.left_id == lhs.l_record_id, "inner")
+        .join(rhs, pairs.right_id == rhs.r_record_id, "inner")
+        .drop("l_record_id", "r_record_id")
+    )
+    flags = comparator_flags()
+    jw = jaro_winkler_udf(F.col("l_stem"), F.col("r_stem"))
+    lev = levenshtein_ratio(F.col("l_stem"), F.col("r_stem"))
+    return attached.select(
+        "left_id",
+        "right_id",
+        *[F.coalesce(expr, F.lit(False)).alias(name) for name, expr in flags.items()],
+        F.coalesce(_eq(F.col("l_cologne_dir1"), F.col("r_cologne_dir1")), F.lit(False)).alias(
+            "cologne_given_match"
+        ),
+        F.coalesce(_eq(F.col("l_soundex_stem"), F.col("r_soundex_stem")), F.lit(False)).alias(
+            "soundex_family_match"
+        ),
+        F.coalesce(
+            _eq(F.col("l_metaphone_stem"), F.col("r_metaphone_stem")), F.lit(False)
+        ).alias("metaphone_family_match"),
+        F.coalesce(jw >= F.lit(config.jaro_winkler_threshold), F.lit(False)).alias(
+            "jw_family_match"
+        ),
+        F.coalesce(lev >= F.lit(config.levenshtein_ratio_threshold), F.lit(False)).alias(
+            "lev_family_match"
+        ),
+        F.round(F.coalesce(jw, F.lit(0.0)), 4).alias("jw_family_sim"),
+        F.round(F.coalesce(lev, F.lit(0.0)), 4).alias("lev_family_sim"),
+    )

@@ -98,11 +98,27 @@ def mdm_verdict_expr(given_flag: str = "first_name_match", family_flag: str = "f
     )
 
 
+def mdm_phonetic_verdict_expr() -> Column:
+    """matchResultMap over the phonetic matchers the reference actually
+    configures (mdm-rules.json:25-46): COLOGNE given-name matcher alone
+    => POSSIBLE_MATCH; plus SOUNDEX family matcher => MATCH."""
+    given = F.col("cologne_given_match")
+    family = F.col("soundex_family_match")
+    return (
+        F.when(given & family, F.lit("MATCH"))
+        .when(given, F.lit("POSSIBLE_MATCH"))
+        .otherwise(F.lit("NO_MATCH"))
+    )
+
+
 def grade_pairs(flagged: DataFrame) -> DataFrame:
     """Attach score / weight / verdict to a comparator-flag DataFrame."""
-    return flagged.select(
+    out = flagged.select(
         "*",
         grade_expr().alias("score"),
         weight_expr().alias("weight"),
         mdm_verdict_expr().alias("verdict"),
     )
+    if "cologne_given_match" in flagged.columns:
+        out = out.withColumn("verdict_phonetic", mdm_phonetic_verdict_expr())
+    return out

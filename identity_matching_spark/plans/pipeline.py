@@ -42,10 +42,20 @@ class PipelineResult:
 
 
 def run_pipeline(files: DataFrame, config: MatchConfig | None = None) -> PipelineResult:
+    from pyspark import StorageLevel
+
     config = config or MatchConfig()
-    records = normalize_files(files)
+    # records feeds blocking, both compare sides, and the singleton union —
+    # persist so the normalize projection (sha256-heavy) runs once.
+    records = normalize_files(files).persist(StorageLevel.MEMORY_AND_DISK)
     blocking: BlockingResult = candidate_pairs(records, config)
-    scored = grade_pairs(compare_pairs(blocking.pairs, records))
+    if config.enable_fuzzy:
+        from identity_matching_spark.operators.compare import compare_pairs_fuzzy
+
+        flagged = compare_pairs_fuzzy(blocking.pairs, records, config)
+    else:
+        flagged = compare_pairs(blocking.pairs, records)
+    scored = grade_pairs(flagged).persist(StorageLevel.MEMORY_AND_DISK)
     edges = scored.filter(F.col("score") >= F.lit(config.cluster_threshold)).select(
         "left_id", "right_id"
     )

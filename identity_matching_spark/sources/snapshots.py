@@ -23,7 +23,9 @@ class SnapshotStore:
         self.spark = spark
         self.root = root
         os.makedirs(root, exist_ok=True)
-        self._lineage_path = os.path.join(root, "_lineage.jsonl")
+        # not underscore-prefixed: Spark's file index skips _metadata-style
+        # names, and spark.read.json must be able to see this file
+        self._lineage_path = os.path.join(root, "lineage-log.jsonl")
 
     def _path(self, name: str) -> str:
         return os.path.join(self.root, name)

@@ -1,0 +1,114 @@
+"""Function library: phonetics vs known vectors + Spark parity, similarity
+metrics, MinHash/SimHash properties."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from identity_matching_spark.functions.hashing import (
+    hamming64,
+    lsh_band_keys,
+    minhash_signature,
+    simhash64,
+    word_shingles,
+)
+from identity_matching_spark.functions.normalize import hapi_norm, norm_ws
+from identity_matching_spark.functions.phonetic import (
+    cologne_encode,
+    metaphone_encode,
+    soundex_encode,
+)
+from identity_matching_spark.functions.similarity import jaro_winkler, levenshtein_ratio
+
+
+def test_soundex_python_port_matches_spark(spark):
+    words = ["robert", "rupert", "ashcraft", "ashcroft", "tymczak", "pfister",
+             "honeyman", "miller", "mueller", "smith", "smyth", "parser"]
+    df = spark.createDataFrame([(w,) for w in words], ["w"]).select(
+        "w", F.soundex("w").alias("sdx")
+    )
+    got = {r["w"]: r["sdx"] for r in df.collect()}
+    for w in words:
+        assert got[w].upper() == soundex_encode(w), w
+
+
+def test_cologne_known_vectors():
+    # canonical example from the public algorithm description
+    assert cologne_encode("Müller-Lüdenscheidt") == "65752682"
+    assert cologne_encode("Breschnew") == "17863"
+    assert cologne_encode("Wikipedia") == "3412"
+    assert cologne_encode("meyer") == cologne_encode("maier")
+    assert cologne_encode("") == ""
+    assert cologne_encode(None) is None
+
+
+def test_metaphone_groups_similar_names():
+    assert metaphone_encode("smith") == metaphone_encode("smyth")
+    assert metaphone_encode("phillip") == metaphone_encode("filip")
+    assert metaphone_encode("parser") != metaphone_encode("runner")
+    assert metaphone_encode(None) is None
+
+
+def test_jaro_winkler_reference_values():
+    assert jaro_winkler("MARTHA", "MARHTA") == pytest.approx(0.9611, abs=1e-4)
+    assert jaro_winkler("DIXON", "DICKSONX") == pytest.approx(0.8133, abs=1e-3)
+    assert jaro_winkler("abc", "abc") == 1.0
+    assert jaro_winkler("abc", "xyz") == 0.0
+    assert jaro_winkler(None, "x") is None
+
+
+def test_levenshtein_ratio_column(spark):
+    df = spark.createDataFrame(
+        [("kitten", "sitting"), ("abc", "abc"), ("", "")], ["a", "b"]
+    ).select(levenshtein_ratio(F.col("a"), F.col("b")).alias("r"))
+    rows = [r["r"] for r in df.collect()]
+    assert rows[0] == pytest.approx(1 - 3 / 7)
+    assert rows[1] == 1.0
+    assert rows[2] == 1.0
+
+
+def test_minhash_near_dup_property(spark):
+    """Identical texts -> identical signatures; near-dups share most
+    components; unrelated texts share few."""
+    a = "the quick brown fox jumps over the lazy dog again and again ok"
+    b = a.replace("lazy", "sleepy")  # small edit
+    c = "completely different content with other words entirely here now"
+    df = spark.createDataFrame([(a,), (a,), (b,), (c,)], ["t"]).select(
+        minhash_signature(word_shingles(norm_ws(F.col("t")), 3), 32).alias("sig")
+    )
+    sigs = [r["sig"] for r in df.collect()]
+    assert sigs[0] == sigs[1]
+    overlap_ab = sum(x == y for x, y in zip(sigs[0], sigs[2]))
+    overlap_ac = sum(x == y for x, y in zip(sigs[0], sigs[3]))
+    assert overlap_ab > 16
+    assert overlap_ac <= 2
+
+
+def test_lsh_bands_collide_for_near_dups(spark):
+    a = "the quick brown fox jumps over the lazy dog again and again ok"
+    b = a.replace("lazy", "sleepy")
+    df = spark.createDataFrame([(a,), (b,)], ["t"]).select(
+        lsh_band_keys(
+            minhash_signature(word_shingles(norm_ws(F.col("t")), 3), 32), 8, 4
+        ).alias("bands")
+    )
+    b1, b2 = [set(r["bands"]) for r in df.collect()]
+    assert b1 & b2  # at least one band collision
+
+
+def test_simhash_hamming(spark):
+    a = "the quick brown fox jumps over the lazy dog again and again ok"
+    b = a.replace("lazy", "sleepy")
+    c = "completely different content with other words entirely here now"
+    df = spark.createDataFrame([(a,), (b,), (c,)], ["t"]).select(
+        simhash64(F.split(norm_ws(F.col("t")), " ")).alias("sh")
+    )
+    s = [r["sh"] for r in df.collect()]
+    d_ab = bin(s[0] ^ s[1]).count("1")
+    d_ac = bin(s[0] ^ s[2]).count("1")
+    assert d_ab < d_ac
+    assert d_ab <= 16
+
+
+def test_hapi_norm(spark):
+    df = spark.createDataFrame([("  ÉcLaiR  ",)], ["s"]).select(hapi_norm(F.col("s")).alias("n"))
+    assert df.collect()[0]["n"] == "eclair"
