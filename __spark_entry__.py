@@ -67,6 +67,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_dedup": Q.q_union_dedup,
         "anti_incremental": Q.q_anti_incremental,
         "registry_lookup": Q.q_registry_lookup,
+        # --- streaming / approximate / multimodal ---
+        "streaming_window_agg": Q.q_streaming_window_agg,
+        "dedup_minhash_fast": Q.q_dedup_minhash_fast,
+        "dedup_simhash_fast": Q.q_dedup_simhash_fast,
+        "ann_lsh": Q.q_ann_lsh,
+        "ann_ivf": Q.q_ann_ivf,
+        "media_features": Q.q_media_features,
         # --- full pipeline (rows-only: uses non-portable fast hashes) ---
         "pipeline_full": _q_pipeline_full,
     }
@@ -87,15 +94,18 @@ _H64 = "CAST(concat('0x', substr(sha256({x}), 1, 15)) AS BIGINT)"
 
 
 def _minhash_sql() -> str:
-    coeffs = minhash_coeffs(32)
+    cfg = Q.SQL_CONFIG
+    rpb = cfg.lsh_rows_per_band
+    coeffs = minhash_coeffs(cfg.minhash_perms)
     sig_items = ",\n      ".join(
         f"list_min([(h * {a} + {b}) % {MINHASH_P} for h in hs])" for a, b in coeffs
     )
     band_items = ",\n      ".join(
         "concat('mh', {b}, ':', CAST({h} AS VARCHAR))".format(
-            b=b, h=_H64.format(x=f"array_to_string(sig[{b*4+1}:{b*4+4}], ',')")
+            b=b,
+            h=_H64.format(x=f"array_to_string(sig[{b*rpb+1}:{b*rpb+rpb}], ',')"),
         )
-        for b in range(8)
+        for b in range(cfg.lsh_bands)
     )
     return f"""{OS.PRELUDE},
     mh AS (
@@ -343,6 +353,10 @@ def oracle_sql() -> dict[str, str]:
           SELECT event_id, user_id, event_type FROM events
           WHERE event_id > (SELECT c FROM cut)
             AND user_id NOT IN (SELECT user_id FROM seen)""",
+        "streaming_window_agg": """SELECT date_trunc('hour', ts) AS window_start, event_type,
+            count(*) AS n,
+            CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
+          FROM events GROUP BY 1, 2""",
         "registry_lookup": """SELECT COALESCE(r.lang_family, 'unknown') AS lang_family, count(*) AS n_docs
           FROM documents d
           LEFT JOIN (VALUES ('en','germanic'),('de','germanic'),('es','romance'),

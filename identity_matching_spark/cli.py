@@ -1,0 +1,89 @@
+"""spark-submit entry point (north_rule: runs via ``spark-submit
+--py-files identity_matching_spark.zip tools/run_linkage.py ...``).
+
+Reads the corpus (parquet path or ``synthetic:<n_entities>``), runs the
+checkpointed pipeline, writes clusters/scored_pairs/lineage under
+--output, and prints a one-line JSON summary. Uses the ambient
+SparkSession when launched by spark-submit; builds a local one otherwise.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _get_spark(cpus: int | None):
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
+    from identity_matching_spark.session import build_session
+
+    return build_session("identity_matching_cli", cpus=cpus)
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="identity_matching_spark")
+    ap.add_argument("--input", required=True,
+                    help="parquet path with files(repo,path,commit,lang,content), "
+                         "or synthetic:<n_entities>")
+    ap.add_argument("--output", required=True, help="output directory")
+    ap.add_argument("--checkpoint-dir", default=None,
+                    help="stage checkpoint dir (enables resume)")
+    ap.add_argument("--cluster-threshold", type=float, default=0.80)
+    ap.add_argument("--max-block-size", type=int, default=1000)
+    ap.add_argument("--no-fuzzy", action="store_true")
+    ap.add_argument("--cpus", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from identity_matching_spark.config import MatchConfig
+    from identity_matching_spark.plans.pipeline import run_checkpointed, run_pipeline
+
+    spark = _get_spark(args.cpus)
+    config = MatchConfig(
+        cluster_threshold=args.cluster_threshold,
+        max_block_size=args.max_block_size,
+        enable_fuzzy=not args.no_fuzzy,
+    )
+
+    if args.input.startswith("synthetic:"):
+        from identity_matching_spark.corpus import generate_files
+
+        files = generate_files(spark, int(args.input.split(":", 1)[1])).drop("entity_id")
+    else:
+        files = spark.read.parquet(args.input)
+
+    t0 = time.time()
+    if args.checkpoint_dir:
+        out = run_checkpointed(spark, files, config, args.checkpoint_dir, resume=True)
+        scored, clusters = out["scored_pairs"], out["clusters"]
+    else:
+        res = run_pipeline(files, config)
+        scored, clusters = res.scored_pairs, res.clusters
+        res.block_stats.write.mode("overwrite").parquet(f"{args.output}/block_stats")
+
+    scored.write.mode("overwrite").parquet(f"{args.output}/scored_pairs")
+    clusters.write.mode("overwrite").parquet(f"{args.output}/clusters")
+
+    n_pairs = spark.read.parquet(f"{args.output}/scored_pairs").count()
+    n_clusters = (
+        spark.read.parquet(f"{args.output}/clusters").select("cluster_id").distinct().count()
+    )
+    wall = time.time() - t0
+    print(json.dumps({
+        "pairs_scored": n_pairs,
+        "n_clusters": n_clusters,
+        "wall_sec": round(wall, 2),
+        "pairs_per_sec": round(n_pairs / wall, 1) if wall else None,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -32,13 +32,22 @@ class MatchConfig:
     blocking_families: tuple[str, ...] = DEFAULT_BLOCKING
     name_prefix_len: int = 4          # HAPI string-param prefix semantics (F4)
     # MinHash-LSH: num_perm signatures, grouped into bands of (num_perm/bands)
-    minhash_perms: int = 32
-    lsh_bands: int = 8
+    # rows. 6 bands x 5 rows: P(candidate) = 1-(1-j^5)^6 — ~0.09 at j=0.5,
+    # ~0.93 at j=0.9: selective for near-dups, cheap on unrelated docs.
+    minhash_perms: int = 30
+    lsh_bands: int = 6
     shingle_words: int = 3            # word-shingle width over normalized content
     # Per-block pair-explosion guard: blocks larger than this are not
     # pair-expanded (logged, never silent — SURVEY.md §4.2). Exact-identity
     # families instead fall back to star edges above identity_star_threshold.
     max_block_size: int = 1000
+    # Per-family overrides: name-family blocks are the classic hot keys
+    # (main.py / index.js); blocks beyond this are dropped WITH a report.
+    # Tuple of (family, cap) pairs (kept hashable for frozen dataclass).
+    family_block_caps: tuple[tuple[str, int], ...] = (
+        ("name_prefix", 128),
+        ("name_soundex", 128),
+    )
     identity_star_threshold: int = 64
     # --- scoring / clustering ---
     cluster_threshold: float = 0.80   # min grade for a match edge (MDM MATCH analog)

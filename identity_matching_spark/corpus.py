@@ -69,6 +69,16 @@ def generate_files(spark: SparkSession, n_entities: int, partitions: int | None 
     n_words = (20 + _h(e, "nw") % 80).cast("int")
     lang_ix = (_h(e, "lang") % len(_LANGS)).cast("int")
 
+    # Stems: zipf-ish head (a few hot names like real repos' main/index) +
+    # a diverse tail — hot stems exercise the block guards/salting, the
+    # tail keeps name-blocking selective.
+    hs2 = _h(e, "sthot")
+    stem = F.when(
+        hs2 % 10 < 3, F.concat(_pick(_STEMS, hs2), F.lit("_"), (hs2 % 7).cast("string"))
+    ).otherwise(
+        F.concat(_pick(_STEMS, hs2), F.lit("_"), (_h(e, "st2") % 99991).cast("string"))
+    )
+
     base = ents.select(
         e.alias("entity_id"),
         size.alias("csize"),
@@ -77,14 +87,19 @@ def generate_files(spark: SparkSession, n_entities: int, partitions: int | None 
         _pick([x for _, x in _LANGS], _h(e, "lang")).alias("ext"),
         _pick(_DIR1, _h(e, "d1")).alias("dir1"),
         _pick(_DIR2, _h(e, "d2")).alias("dir2"),
-        F.concat(_pick(_STEMS, _h(e, "st")), F.lit("_"), (_h(e, "st2") % 997).cast("string")).alias("stem"),
+        stem.alias("stem"),
     )
 
-    # Base content: n_words vocab words (hash-chosen), 8 per line.
-    words = F.transform(
-        F.sequence(F.lit(0), F.col("n_words") - 1),
-        lambda i: _pick(_VOCAB, _h(F.col("entity_id"), i)),
-    )
+    # Base content: common keywords mixed with entity-specific identifier
+    # tokens (the way real code shares keywords but has unique symbols) —
+    # shingles are entity-distinctive, so LSH collides for true near-dups,
+    # not the whole corpus. 8 words per line.
+    def word_at(i):
+        hw = _h(F.col("entity_id"), i)
+        ident = F.concat(F.lit("id"), (_h(F.col("entity_id"), i, "t") % 50000).cast("string"))
+        return F.when(hw % 10 < 6, _pick(_VOCAB, hw)).otherwise(ident)
+
+    words = F.transform(F.sequence(F.lit(0), F.col("n_words") - 1), word_at)
     n_lines = F.ceil(F.col("n_words") / 8).cast("int")
     content = F.array_join(
         F.transform(

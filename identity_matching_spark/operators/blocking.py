@@ -66,17 +66,26 @@ def blocking_keys(records: DataFrame, config: MatchConfig) -> DataFrame:
     if "norm_sha" in f:
         fams.append(F.struct(F.lit("norm_sha").alias("family"),
                              F.concat(F.lit("nsha:"), F.col("norm_sha")).alias("blocking_key")))
+    # Name keys are CONJUNCTIVE with the birth-date analog (size bucket) —
+    # the reference ANDs its search params (one SearchParameterMap,
+    # IdentityMatching.java:911-1053), and every decision-table tier that a
+    # name-blocked pair can win requires birth_date_match anyway, so the
+    # composite key splits hot-name blocks without losing decision-relevant
+    # recall.
     if "name_prefix" in f:
         fams.append(F.struct(
             F.lit("name_prefix").alias("family"),
             F.concat(F.lit("np:"), F.col("lang_norm"), F.lit("|"),
-                     F.substring(hapi_norm(F.col("stem")), 1, config.name_prefix_len)
+                     F.substring(hapi_norm(F.col("stem")), 1, config.name_prefix_len),
+                     F.lit("|"), F.col("size_bucket").cast("string")
                      ).alias("blocking_key")))
     if "name_soundex" in f:
         fams.append(F.struct(
             F.lit("name_soundex").alias("family"),
             F.concat(F.lit("sdx:"), F.col("lang_norm"), F.lit("|"),
-                     F.soundex(hapi_norm(F.col("stem")))).alias("blocking_key")))
+                     F.soundex(hapi_norm(F.col("stem"))),
+                     F.lit("|"), F.col("size_bucket").cast("string")
+                     ).alias("blocking_key")))
 
     keyed = records.select(
         "record_id", F.explode(F.array(*fams)).alias("k")
@@ -124,7 +133,10 @@ def candidate_pairs(records: DataFrame, config: MatchConfig) -> BlockingResult:
     sizes = keyed.groupBy("family", "blocking_key").agg(F.count("*").alias("n_records"))
 
     star_eligible = F.col("family").isin(*IDENTITY_FAMILIES)
-    oversized = F.col("n_records") > F.lit(config.max_block_size)
+    cap = F.lit(config.max_block_size)
+    for fam, fam_cap in config.family_block_caps:
+        cap = F.when(F.col("family") == fam, F.lit(min(fam_cap, config.max_block_size))).otherwise(cap)
+    oversized = F.col("n_records") > cap
     starred = star_eligible & (F.col("n_records") > F.lit(config.identity_star_threshold))
 
     block_stats = sizes.filter(oversized | starred).withColumn(

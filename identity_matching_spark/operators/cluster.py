@@ -76,16 +76,29 @@ def connected_components(
     no-edge isolation are the caller's concern (pipeline unions singletons).
     """
     config = config or MatchConfig()
+
+    def _sig(df: DataFrame) -> tuple:
+        # One cheap aggregation instead of an exceptAll shuffle: the edge
+        # set is stable iff (count, order-free hash-sum) are stable.
+        row = df.agg(
+            F.count("*").alias("n"),
+            # decimal(38,0) accumulator: summing 64-bit hashes overflows
+            # long under ANSI mode on any non-trivial edge set
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
     e = _canonical_edges(edges).localCheckpoint()
+    sig = _sig(e)
     for it in range(config.cc_max_iterations):
         e2 = _small_star(_large_star(e)).localCheckpoint()
-        # Converged when the edge star set is stable (same (src,dst) rows).
-        changed = e2.exceptAll(e).limit(1).count()
+        sig2 = _sig(e2)
         if on_iteration is not None:
             on_iteration(it, e2)
         e = e2
-        if changed == 0:
+        if sig2 == sig:
             break
+        sig = sig2
     # After convergence every edge points node -> component min.
     members = e.select(F.col("src").alias("record_id"), F.col("dst").alias("cluster_id"))
     reps = e.select(F.col("dst").alias("record_id"), F.col("dst").alias("cluster_id"))

@@ -1,0 +1,134 @@
+"""Deduplication operator family over a text corpus (training-data
+pipeline primitives; each also has a ``queries()``/oracle entry).
+
+All operators take a DataFrame with (id_col, text_col) and return either
+a keep-list or near-dup pair list. Scale notes: every variant blocks
+before any pairwise work — exact by full hash, near-dup by LSH bands /
+simhash prefixes — so no operator is quadratic in the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from identity_matching_spark.functions.hashing import (
+    hamming64,
+    lsh_band_keys,
+    minhash_signature,
+    simhash64,
+    word_shingles,
+)
+from identity_matching_spark.functions.normalize import norm_ws, tokens_of
+
+
+def dedup_exact(df: DataFrame, id_col: str, text_col: str, normalized: bool = False) -> DataFrame:
+    """Hash-groupBy exact dedup: one keeper (min id) per content hash.
+    ``normalized=True`` collapses case/whitespace first."""
+    key = norm_ws(F.col(text_col)) if normalized else F.col(text_col)
+    return (
+        df.groupBy(F.sha2(key, 256).alias("text_sha"))
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def near_dup_pairs_minhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_words: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs: shingle -> signature -> band bucket
+    join -> exact shingle-Jaccard verification on collisions only."""
+    rows_per_band = max(1, num_perm // bands)
+    sh = word_shingles(norm_ws(F.col(text_col)), shingle_words)
+    base = df.select(F.col(id_col).alias("id"), sh.alias("sh"))
+    sig = base.select(
+        "id", "sh", minhash_signature(F.col("sh"), num_perm).alias("sig")
+    )
+    keyed = sig.select(
+        "id", "sh", F.explode(lsh_band_keys(F.col("sig"), bands, rows_per_band)).alias("bucket")
+    )
+    l = keyed.select(F.col("bucket"), F.col("id").alias("a"), F.col("sh").alias("sa"))
+    r = keyed.select(F.col("bucket"), F.col("id").alias("b"), F.col("sh").alias("sb"))
+    cands = (
+        l.join(r, "bucket")
+        .filter(F.col("a") < F.col("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    jac = F.size(F.array_intersect("sa", "sb")) / F.size(F.array_union("sa", "sb"))
+    return cands.select("a", "b", F.round(jac, 4).alias("jaccard")).filter(
+        F.col("jaccard") >= jaccard_threshold
+    )
+
+
+def near_dup_pairs_simhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 8,
+    prefix_bits: int = 16,
+) -> DataFrame:
+    """SimHash near-dup: 64-bit fingerprints, blocked by rotated bit-prefix
+    bands (4 rotations x 16 bits — any pair within hamming distance 3 of a
+    band boundary collides in >=1 band), verified by exact hamming."""
+    fp = df.select(
+        F.col(id_col).alias("id"), simhash64(tokens_of(F.col(text_col))).alias("sh")
+    )
+    bands = 64 // prefix_bits
+    keyed = fp.select(
+        "id", "sh",
+        F.explode(
+            F.array(*[
+                F.concat(
+                    F.lit(f"b{b}:"),
+                    F.shiftrightunsigned(F.col("sh"), b * prefix_bits)
+                    .bitwiseAND(F.lit((1 << prefix_bits) - 1))
+                    .cast("string"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bucket"),
+    )
+    l = keyed.select("bucket", F.col("id").alias("a"), F.col("sh").alias("ha"))
+    r = keyed.select("bucket", F.col("id").alias("b"), F.col("sh").alias("hb"))
+    return (
+        l.join(r, "bucket")
+        .filter(F.col("a") < F.col("b"))
+        .dropDuplicates(["a", "b"])
+        .select("a", "b", hamming64(F.col("ha"), F.col("hb")).alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def near_dup_pairs_embedding(
+    emb: DataFrame,
+    cosine_threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 8,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-dup via the RHP-LSH bucket join."""
+    from identity_matching_spark.operators.similarity import (
+        _dot,
+        _rhp_signature,
+        with_unit_vectors,
+    )
+
+    u = with_unit_vectors(emb, id_col, vec_col)
+    dim = len(emb.select(vec_col).first()[0])
+    sigs = F.array(*[_rhp_signature(F.col("unit"), dim, n_bits, t) for t in range(n_tables)])
+    keyed = u.select("vec_id", "unit", F.explode(sigs).alias("bucket"))
+    l = keyed.select("bucket", F.col("vec_id").alias("a"), F.col("unit").alias("ua"))
+    r = keyed.select("bucket", F.col("vec_id").alias("b"), F.col("unit").alias("ub"))
+    return (
+        l.join(r, "bucket")
+        .filter(F.col("a") < F.col("b"))
+        .dropDuplicates(["a", "b"])
+        .select("a", "b", F.round(_dot(F.col("ua"), F.col("ub")), 6).alias("cosine"))
+        .filter(F.col("cosine") >= cosine_threshold)
+    )

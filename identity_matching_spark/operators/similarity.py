@@ -1,0 +1,165 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+* ``cosine_topk_bruteforce`` — correctness baseline: probe x corpus
+  cross join, double-precision dot product in pure Columns
+  (zip_with/aggregate, no UDF), window top-k. O(P x N) — fine for small
+  probe sets, the oracle-checkable path.
+* ``cosine_topk_lsh`` — the scale path: random-hyperplane LSH (Charikar
+  2002) bucket join. Each vector hashes to ``n_tables`` signature
+  buckets; candidates = bucket collisions; exact cosine re-rank on
+  candidates only. Hyperplanes are derived deterministically from a seed
+  via hash arithmetic (no driver-side randomness to ship).
+* ``cosine_topk_ivf`` — IVF-style variant: k centroids sampled
+  deterministically from the corpus, vectors assigned to nearest
+  centroid (broadcast), probes search ``n_probe`` nearest cells only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(v: Column) -> Column:
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+
+
+def with_unit_vectors(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Normalize once up front so cosine becomes a plain dot product."""
+    v = _as_double(F.col(vec_col))
+    n = _norm(v)
+    unit = F.when(n > 0, F.transform(v, lambda x: x / n)).otherwise(v)
+    return emb.select(F.col(id_col).alias("vec_id"), unit.alias("unit"))
+
+
+def cosine_topk_bruteforce(emb: DataFrame, probes: DataFrame, k: int = 10) -> DataFrame:
+    """probes(vec_id, embedding) x emb -> top-k neighbors per probe."""
+    corpus = with_unit_vectors(emb)
+    probe_u = with_unit_vectors(probes).withColumnRenamed("vec_id", "probe_id") \
+        .withColumnRenamed("unit", "probe_unit")
+    sims = (
+        probe_u.crossJoin(corpus)
+        .filter(F.col("probe_id") != F.col("vec_id"))
+        .select(
+            "probe_id", "vec_id",
+            F.round(_dot(F.col("probe_unit"), F.col("unit")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _hyperplane(dim: int, table: int, j: int, seed: int = 7) -> list[float]:
+    """Deterministic Rademacher hyperplane (+-1 components) from a seeded
+    counter hash — reproducible across runs/partitions, no RNG state."""
+    import hashlib
+
+    out = []
+    for i in range(0, dim, 32):
+        h = hashlib.sha256(f"{seed}:{table}:{j}:{i}".encode()).digest()
+        out.extend(1.0 if (h[b // 8] >> (b % 8)) & 1 else -1.0 for b in range(min(32, dim - i)))
+    return out[:dim]
+
+
+def _rhp_signature(unit: Column, dim: int, n_bits: int, table: int, seed: int = 7) -> Column:
+    """Random-hyperplane signature: bit j = sign(<v, h_j>). Hyperplanes are
+    literal arrays (driver-generated, deterministic), so each bit is one
+    zip_with/aggregate dot product in codegen."""
+
+    def bit(j: int) -> Column:
+        hp = F.array(*[F.lit(x) for x in _hyperplane(dim, table, j, seed)])
+        proj = F.aggregate(
+            F.zip_with(unit, hp, lambda x, h: x * h), F.lit(0.0), lambda s, x: s + x
+        )
+        return F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0"))
+
+    return F.concat(F.lit(f"t{table}:"), *[bit(j) for j in range(n_bits)])
+
+
+def cosine_topk_lsh(
+    emb: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    dim: int = 64,
+    n_bits: int = 8,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Approximate top-k: bucket join on RHP signatures, exact re-rank on
+    collisions. Recall grows with n_tables; cost ~ bucket sizes, not N*P."""
+    corpus = with_unit_vectors(emb)
+    probe_u = with_unit_vectors(probes).withColumnRenamed("vec_id", "probe_id") \
+        .withColumnRenamed("unit", "probe_unit")
+
+    def keyed(df: DataFrame, unit_col: str, id_cols: list[str]) -> DataFrame:
+        sigs = F.array(*[
+            _rhp_signature(F.col(unit_col), dim, n_bits, t) for t in range(n_tables)
+        ])
+        return df.select(*id_cols, unit_col, F.explode(sigs).alias("bucket"))
+
+    ck = keyed(corpus, "unit", ["vec_id"])
+    pk = keyed(probe_u, "probe_unit", ["probe_id"])
+    cands = (
+        pk.join(ck, "bucket")
+        .filter(F.col("probe_id") != F.col("vec_id"))
+        .dropDuplicates(["probe_id", "vec_id"])
+    )
+    sims = cands.select(
+        "probe_id", "vec_id",
+        F.round(_dot(F.col("probe_unit"), F.col("unit")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def cosine_topk_ivf(
+    emb: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF: centroids = deterministic corpus sample (hash-ordered first
+    n_cells unit vectors, broadcast); vectors assigned to nearest cell;
+    probes scan their n_probe nearest cells only."""
+    corpus = with_unit_vectors(emb)
+    cents = (
+        corpus.withColumn("h", F.xxhash64(F.col("vec_id").cast("string")))
+        .orderBy("h")
+        .limit(n_cells)
+        .select(F.col("vec_id").alias("cell_id"), F.col("unit").alias("centroid"))
+    )
+
+    def assign(df: DataFrame, unit_col: str, id_cols: list[str], top: int) -> DataFrame:
+        joined = df.crossJoin(F.broadcast(cents)).select(
+            *id_cols, unit_col, "cell_id",
+            _dot(F.col(unit_col), F.col("centroid")).alias("cd"),
+        )
+        w = Window.partitionBy(*id_cols).orderBy(F.desc("cd"), F.asc("cell_id"))
+        return joined.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= top)
+
+    ca = assign(corpus, "unit", ["vec_id"], 1).select("vec_id", "unit", "cell_id")
+    pa = assign(
+        probes.transform(lambda d: with_unit_vectors(d))
+        .withColumnRenamed("vec_id", "probe_id")
+        .withColumnRenamed("unit", "probe_unit"),
+        "probe_unit", ["probe_id"], n_probe,
+    ).select("probe_id", "probe_unit", "cell_id")
+    sims = (
+        pa.join(ca, "cell_id")
+        .filter(F.col("probe_id") != F.col("vec_id"))
+        .dropDuplicates(["probe_id", "vec_id"])
+        .select(
+            "probe_id", "vec_id",
+            F.round(_dot(F.col("probe_unit"), F.col("unit")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

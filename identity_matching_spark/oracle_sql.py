@@ -83,7 +83,8 @@ keys AS (
   SELECT record_id, 'norm_sha', 'nsha:' || norm_sha FROM records
   UNION ALL
   SELECT record_id, 'name_prefix',
-         'np:' || lang_norm || '|' || substr(lower(trim(stem)), 1, 4) FROM records
+         'np:' || lang_norm || '|' || substr(lower(trim(stem)), 1, 4)
+         || '|' || CAST(size_bucket AS VARCHAR) FROM records
 )
 """
 

@@ -485,3 +485,66 @@ def q_registry_lookup(spark, sf_dir):
         .groupBy(F.coalesce("lang_family", F.lit("unknown")).alias("lang_family"))
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+# --- streaming / dedup / ANN / multimodal (added operators) ------------------
+
+
+def q_streaming_window_agg(spark, sf_dir):
+    """Structured Streaming: tumbling-window event counts via a real
+    streaming query (memory sink, driven to completion)."""
+    from identity_matching_spark.streaming.windows import windowed_event_counts
+
+    return windowed_event_counts(spark, f"{sf_dir}/events.parquet")
+
+
+def q_dedup_minhash_fast(spark, sf_dir):
+    """MinHash-LSH near-dup pairs with production (xxhash64) hashing —
+    rows-only check (no portable SQL twin; the sha-hash twin is
+    minhash_lsh_portable)."""
+    from identity_matching_spark.operators.dedup import near_dup_pairs_minhash
+
+    d = load_table(spark, sf_dir, "documents")
+    return near_dup_pairs_minhash(d, "doc_id", "text", jaccard_threshold=0.5)
+
+
+def q_dedup_simhash_fast(spark, sf_dir):
+    """SimHash near-dup pairs with banded bit-prefix blocking (rows-only)."""
+    from identity_matching_spark.operators.dedup import near_dup_pairs_simhash
+
+    d = load_table(spark, sf_dir, "documents")
+    return near_dup_pairs_simhash(d, "doc_id", "text", max_hamming=8)
+
+
+def q_ann_lsh(spark, sf_dir):
+    """Approximate ANN via random-hyperplane LSH buckets (rows-only;
+    recall vs brute force is pytest-asserted)."""
+    from identity_matching_spark.operators.similarity import cosine_topk_lsh
+
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 20)
+    return cosine_topk_lsh(e, probes, k=5)
+
+
+def q_ann_ivf(spark, sf_dir):
+    """IVF-cell ANN (rows-only; recall pytest-asserted)."""
+    from identity_matching_spark.operators.similarity import cosine_topk_ivf
+
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 20)
+    return cosine_topk_ivf(e, probes, k=5)
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing: synthetic media table -> mapInPandas feature
+    extraction (decode stubbed; rows-only)."""
+    from identity_matching_spark.operators.multimodal import (
+        extract_features,
+        synthesize_media,
+    )
+
+    media = synthesize_media(spark, 200)
+    feats = extract_features(media, dim=8)
+    return feats.select(
+        "media_id", "kind", F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 3).alias("feat_sum")
+    )
