@@ -141,24 +141,46 @@ def candidate_pairs(records: DataFrame, config: MatchConfig) -> BlockingResult:
 
     block_stats = sizes.filter(oversized | starred).withColumn(
         "action",
-        F.when(starred, F.lit("star")).otherwise(F.lit("dropped")),
+        F.when(starred, F.lit("star")).otherwise(F.lit("subsalted")),
     )
 
     hot = (~star_eligible) & (~oversized) & (F.col("n_records") > F.lit(config.salt_buckets * 8))
 
+    # Sub-salt factor for oversized non-identity blocks: split a block of n
+    # rows into k = ceil(n/cap) hash-sub-blocks of ~cap rows each. Pair
+    # output becomes ~n*cap/2 instead of n^2/2 — LINEAR in block size, so a
+    # hot key can never blow up a stage. The reduced intra-block recall is
+    # deterministic and REPORTED (action='subsalted'), never silent.
+    subsalt_k = F.ceil(F.col("n_records") / cap).cast("long")
     keyed_sized = keyed.join(
         F.broadcast(
             sizes.filter(oversized | starred | hot).select(
-                "blocking_key", "family", starred.alias("is_star"), hot.alias("is_hot")
+                "blocking_key",
+                "family",
+                starred.alias("is_star"),
+                hot.alias("is_hot"),
+                F.when(oversized & ~starred, subsalt_k).alias("sub_k"),
             )
         ),
         ["family", "blocking_key"],
         "left",
     )
 
-    quad = keyed_sized.filter(F.col("is_star").isNull()).select("blocking_key", "record_id")
+    quad = keyed_sized.filter(
+        F.col("is_star").isNull() & F.col("sub_k").isNull()
+    ).select("blocking_key", "record_id")
     star = keyed_sized.filter(F.col("is_star") == True).select("blocking_key", "record_id")  # noqa: E712
     hot_rows = keyed_sized.filter(F.col("is_hot") == True).select("blocking_key", "record_id")  # noqa: E712
+    sub_rows = keyed_sized.filter(F.col("sub_k").isNotNull()).select(
+        F.concat(
+            F.col("blocking_key"),
+            F.lit("#"),
+            F.pmod(F.xxhash64("record_id"), F.col("sub_k")).cast("string"),
+        ).alias("blocking_key"),
+        "record_id",
+    )
+    # sub-blocks are ~cap-sized quadratic blocks — reuse the plain pair join
+    quad = quad.unionByName(sub_rows)
 
     l, r = quad.alias("l"), quad.alias("r")
     quad_pairs = (

@@ -23,7 +23,9 @@ def build_session(
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
-        shuffle_partitions = max(cpus, 8)
+        # 2x cores: finer tasks even out stragglers; AQE re-coalesces
+        # anything that ends up too small.
+        shuffle_partitions = max(2 * cpus, 16)
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)

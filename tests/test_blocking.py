@@ -47,14 +47,19 @@ def test_identity_star_shortcut(spark, tiny_cfg):
     assert len(hubs) == 1
 
 
-def test_oversized_nonidentity_block_dropped_and_reported(spark, tiny_cfg):
+def test_oversized_nonidentity_block_subsalted_and_reported(spark, tiny_cfg):
     rows = [(f"r{i}", "a/b/same.py", f"{i:040x}", "python", f"content {i}") for i in range(12)]
     recs = normalize_files(_files(spark, rows))
     cfg = tiny_cfg.with_(blocking_families=("name_prefix",))
     res = candidate_pairs(recs, cfg)
-    assert res.pairs.count() == 0  # block size 12 > cap 10: dropped...
-    stats = res.block_stats.collect()  # ...but REPORTED
-    assert len(stats) == 1 and stats[0]["action"] == "dropped" and stats[0]["n_records"] == 12
+    # block size 12 > cap 10 -> split into k=2 hash-sub-blocks: fewer than
+    # the full C(12,2)=66 pairs, more than none, and REPORTED
+    n = res.pairs.count()
+    assert 0 < n < 66
+    stats = res.block_stats.collect()
+    assert len(stats) == 1 and stats[0]["action"] == "subsalted" and stats[0]["n_records"] == 12
+    # sub-blocking is deterministic
+    assert candidate_pairs(recs, cfg).pairs.exceptAll(res.pairs).count() == 0
 
 
 def test_salted_hot_key_pairs_complete(spark):

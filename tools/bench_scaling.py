@@ -27,7 +27,11 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env, capture_output=True, text=True, timeout=3000,
     )
-    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    json_lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    if not json_lines:
+        sys.stderr.write(out.stdout[-3000:] + "\n" + out.stderr[-5000:] + "\n")
+        raise RuntimeError(f"bench.py produced no JSON at cpus={cpus}")
+    line = json_lines[-1]
     d = json.loads(line)
     d["subprocess_sec"] = round(time.time() - t0, 1)
     return d
