@@ -41,7 +41,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from identity_matching_spark.functions.hashing import sha256_hex
+from identity_matching_spark.functions.hashing import hash64_sha, sha256_hex
 from identity_matching_spark.functions.normalize import norm_ws
 
 SEP = ""  # unit separator for composite keys (chr(31) in SQL)
@@ -94,9 +94,9 @@ def normalize_files(files: DataFrame) -> DataFrame:
         sha256_hex(F.trim(F.element_at(F.split(F.col("content"), "\n"), -1))).alias(
             "last_line_sha"
         ),
-        F.array_distinct(
-            F.transform(lines, lambda x: F.substring(sha256_hex(x), 1, 16))
-        ).alias("line_hashes"),
+        # 64-bit line hashes (not hex strings): arrays_overlap over longs is
+        # ~an order cheaper than over strings, and the shuffled row shrinks
+        F.array_distinct(F.transform(lines, lambda x: hash64_sha(x))).alias("line_hashes"),
         sha256_hex(F.array_join(F.array_sort(F.array_distinct(lines)), "\n")).alias(
             "sorted_lines_sha"
         ),

@@ -61,7 +61,7 @@ records AS (
     CAST(floor(length(norm_content) / 32) AS BIGINT) AS size_bucket,
     sha256(trim(string_split(content, chr(10))[1])) AS first_line_sha,
     sha256(trim(string_split(content, chr(10))[-1])) AS last_line_sha,
-    list_distinct([substr(sha256(x), 1, 16) for x in tlines]) AS line_hashes,
+    list_distinct([CAST(concat('0x', substr(sha256(x), 1, 15)) AS BIGINT) for x in tlines]) AS line_hashes,
     sha256(array_to_string(list_sort(list_distinct(tlines)), chr(10))) AS sorted_lines_sha,
     sha256(regexp_replace(content, '[A-Za-z_][A-Za-z0-9_]*', 'ID', 'g')) AS shape_sha,
     sha256(concat_ws(chr(31), repo,

@@ -23,9 +23,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def run_bench(cpus: int, sf_dir: str) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=sf_dir)
     t0 = time.time()
+    # Pin the whole process tree (JVM task threads AND Python UDF workers)
+    # to exactly `cpus` cores — without affinity, local[8]'s pandas-UDF
+    # workers silently use extra cores and the N-vs-4N comparison is bogus.
+    cmd = [sys.executable, os.path.join(REPO, "bench.py")]
+    if os.path.exists("/usr/bin/taskset"):
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
     out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
-        env=env, capture_output=True, text=True, timeout=3000,
+        cmd, env=env, capture_output=True, text=True, timeout=4000,
     )
     json_lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
     if not json_lines:
