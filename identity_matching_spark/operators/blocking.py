@@ -57,15 +57,17 @@ def blocking_keys(records: DataFrame, config: MatchConfig) -> DataFrame:
     """
     fams = []
     f = config.blocking_families
+    # Identity keys use the 8-byte h64 twins (operators/normalize.py) — the
+    # keyed table is the biggest intermediate at corpus scale and shrinks ~4x.
     if "content_sha" in f:
         fams.append(F.struct(F.lit("content_sha").alias("family"),
-                             F.concat(F.lit("sha:"), F.col("content_sha256")).alias("blocking_key")))
+                             F.concat(F.lit("sha:"), F.col("content_h64").cast("string")).alias("blocking_key")))
     if "file_id" in f:
         fams.append(F.struct(F.lit("file_id").alias("family"),
-                             F.concat(F.lit("fid:"), F.col("file_id")).alias("blocking_key")))
+                             F.concat(F.lit("fid:"), F.col("file_h64").cast("string")).alias("blocking_key")))
     if "norm_sha" in f:
         fams.append(F.struct(F.lit("norm_sha").alias("family"),
-                             F.concat(F.lit("nsha:"), F.col("norm_sha")).alias("blocking_key")))
+                             F.concat(F.lit("nsha:"), F.col("norm_h64").cast("string")).alias("blocking_key")))
     # Name keys are CONJUNCTIVE with the birth-date analog (size bucket) —
     # the reference ANDs its search params (one SearchParameterMap,
     # IdentityMatching.java:911-1053), and every decision-table tier that a

@@ -25,12 +25,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# Columns each side of a pair needs for comparison.
+# Columns each side of a pair needs for comparison. Identity attributes
+# ride as 8-byte h64 twins (see operators/normalize.py H64_PAIRS) — the
+# 64-byte hex strings never enter the pair shuffle.
 ATTR_COLS = [
-    "record_id", "content_sha256", "file_id", "norm_sha", "stem", "ext",
+    "record_id", "content_h64", "file_h64", "norm_h64", "ssn4", "stem", "ext",
     "dir1", "dir2", "parent_dir", "lang_norm", "size_bucket",
-    "first_line_sha", "last_line_sha", "line_hashes", "sorted_lines_sha",
-    "shape_sha", "ins_member_sha", "ins_subscriber_sha",
+    "first_line_h64", "last_line_h64", "line_hashes", "sorted_lines_h64",
+    "shape_h64", "ins_member_h64", "ins_subscriber_h64",
 ]
 
 # (flag name, attribute, comparison kind)
@@ -74,7 +76,6 @@ def comparator_flags() -> dict[str, Column]:
     """
     L = lambda c: F.col(f"l_{c}")  # noqa: E731
     R = lambda c: F.col(f"r_{c}")  # noqa: E731
-    last4 = lambda c: F.substring(c, 61, 4)  # sha hex is 64 chars  # noqa: E731
 
     middle_initial = (
         L("dir2").isNotNull() & R("dir2").isNotNull()
@@ -83,22 +84,22 @@ def comparator_flags() -> dict[str, Column]:
     )
 
     return {
-        "mrn_match": _eq(L("content_sha256"), R("content_sha256")),
-        "digital_id_match": _eq(L("file_id"), R("file_id")),
-        "ssn_match": _eq(L("norm_sha"), R("norm_sha")),
-        "ssn_last4_match": _eq(last4(L("norm_sha")), last4(R("norm_sha"))),
-        "drivers_license_match": _eq(L("sorted_lines_sha"), R("sorted_lines_sha")),
-        "passport_match": _eq(L("shape_sha"), R("shape_sha")),
-        "insurance_member_match": _eq(L("ins_member_sha"), R("ins_member_sha")),
-        "insurance_subscriber_match": _eq(L("ins_subscriber_sha"), R("ins_subscriber_sha")),
+        "mrn_match": _eq(L("content_h64"), R("content_h64")),
+        "digital_id_match": _eq(L("file_h64"), R("file_h64")),
+        "ssn_match": _eq(L("norm_h64"), R("norm_h64")),
+        "ssn_last4_match": _eq(L("ssn4"), R("ssn4")),
+        "drivers_license_match": _eq(L("sorted_lines_h64"), R("sorted_lines_h64")),
+        "passport_match": _eq(L("shape_h64"), R("shape_h64")),
+        "insurance_member_match": _eq(L("ins_member_h64"), R("ins_member_h64")),
+        "insurance_subscriber_match": _eq(L("ins_subscriber_h64"), R("ins_subscriber_h64")),
         "family_name_match": _eq(L("stem"), R("stem")),
         "first_name_match": _eq(L("dir1"), R("dir1")),
         "middle_name_match": _eq(L("dir2"), R("dir2")),
         "middle_initial_match": middle_initial,
         "birth_sex_match": _eq(L("lang_norm"), R("lang_norm")),
         "birth_date_match": _eq(L("size_bucket"), R("size_bucket")),
-        "phone_match": _eq(L("first_line_sha"), R("first_line_sha")),
-        "email_match": _eq(L("last_line_sha"), R("last_line_sha")),
+        "phone_match": _eq(L("first_line_h64"), R("first_line_h64")),
+        "email_match": _eq(L("last_line_h64"), R("last_line_h64")),
         "address_line_match": (
             L("line_hashes").isNotNull() & R("line_hashes").isNotNull()
             & F.arrays_overlap(L("line_hashes"), R("line_hashes"))

@@ -57,6 +57,32 @@ def _nonempty_trimmed_lines(content: Column) -> Column:
     )
 
 
+def _h64_of(col_name: str):
+    """60-bit bigint from a 64-char sha hex column (first 15 nibbles).
+
+    The comparator/blocking hot path carries these 8-byte twins instead of
+    the 64-byte hex strings — equality semantics are unchanged (false
+    collision 2^-60 per pair, negligible at any corpus size) while shuffle
+    and sort bandwidth drop ~8x per identity attribute. Portable:
+    DuckDB ``CAST(concat('0x', substr(x,1,15)) AS BIGINT)``.
+    """
+    return F.conv(F.substring(F.col(col_name), 1, 15), 16, 10).cast("long")
+
+
+#: hex-string column -> bigint twin used by compare/blocking
+H64_PAIRS = [
+    ("content_sha256", "content_h64"),
+    ("file_id", "file_h64"),
+    ("norm_sha", "norm_h64"),
+    ("sorted_lines_sha", "sorted_lines_h64"),
+    ("shape_sha", "shape_h64"),
+    ("ins_member_sha", "ins_member_h64"),
+    ("ins_subscriber_sha", "ins_subscriber_h64"),
+    ("first_line_sha", "first_line_h64"),
+    ("last_line_sha", "last_line_h64"),
+]
+
+
 def normalize_files(files: DataFrame) -> DataFrame:
     """Derive the full comparator/blocking attribute set. One projection,
     no shuffle; keeps original (repo, path, commit, lang, content) so the
@@ -70,7 +96,7 @@ def normalize_files(files: DataFrame) -> DataFrame:
     norm_content = norm_ws(F.col("content"))
     lines = _nonempty_trimmed_lines(F.col("content"))
 
-    return files.select(
+    base = files.select(
         sha256_hex(F.concat_ws(SEP, "repo", "path", "commit")).alias("record_id"),
         "repo",
         "path",
@@ -111,4 +137,9 @@ def normalize_files(files: DataFrame) -> DataFrame:
                 F.regexp_replace(F.col("path"), r"/[^/]*$", ""),
             )
         ).alias("ins_subscriber_sha"),
+    )
+    return base.select(
+        "*",
+        F.substring(F.col("norm_sha"), 61, 4).alias("ssn4"),
+        *[_h64_of(src).alias(dst) for src, dst in H64_PAIRS],
     )

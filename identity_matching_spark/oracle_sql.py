@@ -44,7 +44,7 @@ base AS (
     list_filter([trim(y) for y in string_split(content, chr(10))], x -> x != '') AS tlines
   FROM files
 ),
-records AS (
+records_base AS (
   SELECT
     doc_id,
     sha256(concat_ws(chr(31), repo, path, commit)) AS record_id,
@@ -69,6 +69,20 @@ records AS (
     sha256(concat_ws(chr(31), lower(trim(lang)),
         regexp_replace(path, '/[^/]*$', ''))) AS ins_subscriber_sha
   FROM base
+),
+records AS (
+  SELECT *,
+    substr(norm_sha, 61, 4) AS ssn4,
+    CAST(concat('0x', substr(content_sha256, 1, 15)) AS BIGINT) AS content_h64,
+    CAST(concat('0x', substr(file_id, 1, 15)) AS BIGINT) AS file_h64,
+    CAST(concat('0x', substr(norm_sha, 1, 15)) AS BIGINT) AS norm_h64,
+    CAST(concat('0x', substr(sorted_lines_sha, 1, 15)) AS BIGINT) AS sorted_lines_h64,
+    CAST(concat('0x', substr(shape_sha, 1, 15)) AS BIGINT) AS shape_h64,
+    CAST(concat('0x', substr(ins_member_sha, 1, 15)) AS BIGINT) AS ins_member_h64,
+    CAST(concat('0x', substr(ins_subscriber_sha, 1, 15)) AS BIGINT) AS ins_subscriber_h64,
+    CAST(concat('0x', substr(first_line_sha, 1, 15)) AS BIGINT) AS first_line_h64,
+    CAST(concat('0x', substr(last_line_sha, 1, 15)) AS BIGINT) AS last_line_h64
+  FROM records_base
 )
 """
 
@@ -76,11 +90,12 @@ records AS (
 # twin; the portable-minhash query carries its own SQL).
 KEYS_CTE = r"""
 keys AS (
-  SELECT record_id, 'content_sha' AS family, 'sha:' || content_sha256 AS blocking_key FROM records
+  SELECT record_id, 'content_sha' AS family,
+         'sha:' || CAST(content_h64 AS VARCHAR) AS blocking_key FROM records
   UNION ALL
-  SELECT record_id, 'file_id', 'fid:' || file_id FROM records
+  SELECT record_id, 'file_id', 'fid:' || CAST(file_h64 AS VARCHAR) FROM records
   UNION ALL
-  SELECT record_id, 'norm_sha', 'nsha:' || norm_sha FROM records
+  SELECT record_id, 'norm_sha', 'nsha:' || CAST(norm_h64 AS VARCHAR) FROM records
   UNION ALL
   SELECT record_id, 'name_prefix',
          'np:' || lang_norm || '|' || substr(lower(trim(stem)), 1, 4)
@@ -110,14 +125,14 @@ def _eq(c: str) -> str:
 
 
 FLAG_SQL: dict[str, str] = {
-    "mrn_match": _eq("content_sha256"),
-    "digital_id_match": _eq("file_id"),
-    "ssn_match": _eq("norm_sha"),
-    "ssn_last4_match": "(substr(l.norm_sha, 61, 4) = substr(r.norm_sha, 61, 4))",
-    "drivers_license_match": _eq("sorted_lines_sha"),
-    "passport_match": _eq("shape_sha"),
-    "insurance_member_match": _eq("ins_member_sha"),
-    "insurance_subscriber_match": _eq("ins_subscriber_sha"),
+    "mrn_match": _eq("content_h64"),
+    "digital_id_match": _eq("file_h64"),
+    "ssn_match": _eq("norm_h64"),
+    "ssn_last4_match": _eq("ssn4"),
+    "drivers_license_match": _eq("sorted_lines_h64"),
+    "passport_match": _eq("shape_h64"),
+    "insurance_member_match": _eq("ins_member_h64"),
+    "insurance_subscriber_match": _eq("ins_subscriber_h64"),
     "family_name_match": _eq("stem"),
     "first_name_match": _eq("dir1"),
     "middle_name_match": _eq("dir2"),
@@ -128,8 +143,8 @@ FLAG_SQL: dict[str, str] = {
     ),
     "birth_sex_match": _eq("lang_norm"),
     "birth_date_match": _eq("size_bucket"),
-    "phone_match": _eq("first_line_sha"),
-    "email_match": _eq("last_line_sha"),
+    "phone_match": _eq("first_line_h64"),
+    "email_match": _eq("last_line_h64"),
     "address_line_match": (
         "(l.line_hashes IS NOT NULL AND r.line_hashes IS NOT NULL"
         " AND list_has_any(l.line_hashes, r.line_hashes))"
