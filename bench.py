@@ -59,17 +59,87 @@ def warmup(spark):
 
 
 def run_headline(spark, n_entities: int):
-    files = generate_files(spark, n_entities).drop("entity_id")
-    files = files.persist()
-    n_rows = files.count()  # materialize corpus outside the timed window
+    # Materialize the corpus as a parquet TABLE first (production shape:
+    # the pipeline reads a table, not a live generator expression). This
+    # also keeps the giant generator expression tree out of every
+    # downstream Catalyst/AQE re-plan — measured ~2s of single-threaded
+    # driver planning per stage otherwise.
+    corpus_path = f"/tmp/ims_bench_corpus_{n_entities}.parquet"
+    if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
+        generate_files(spark, n_entities).drop("entity_id").write.mode(
+            "overwrite"
+        ).parquet(corpus_path)
+    files = spark.read.parquet(corpus_path)
+    n_rows = files.count()
     warmup(spark)
     t0 = time.time()
     res = run_pipeline(files, MatchConfig())
     pairs_scored = res.scored_pairs.count()
     n_clusters = res.clusters.select("cluster_id").distinct().count()
     wall = time.time() - t0
-    files.unpersist()
     return wall, pairs_scored, n_clusters, n_rows
+
+
+def prepare_scoring_inputs(spark, n_entities: int):
+    """Materialize records + candidate pairs as parquet ONCE (reused across
+    bench runs at every parallelism level)."""
+    from identity_matching_spark.operators.blocking import candidate_pairs
+    from identity_matching_spark.operators.compare import ATTR_COLS
+    from identity_matching_spark.operators.normalize import normalize_files
+
+    rec_path = f"/tmp/ims_bench_records_{n_entities}.parquet"
+    pair_path = f"/tmp/ims_bench_pairs_{n_entities}.parquet"
+    if not (
+        os.path.exists(os.path.join(rec_path, "_SUCCESS"))
+        and os.path.exists(os.path.join(pair_path, "_SUCCESS"))
+    ):
+        corpus_path = f"/tmp/ims_bench_corpus_{n_entities}.parquet"
+        if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
+            generate_files(spark, n_entities).drop("entity_id").write.mode(
+                "overwrite"
+            ).parquet(corpus_path)
+        from identity_matching_spark.operators.compare import PHONETIC_COLS, enrich_phonetic
+
+        files = spark.read.parquet(corpus_path)
+        records = enrich_phonetic(normalize_files(files))
+        records.select(*ATTR_COLS, *PHONETIC_COLS).write.mode("overwrite").parquet(rec_path)
+        b = candidate_pairs(records, MatchConfig())
+        b.pairs.write.mode("overwrite").parquet(pair_path)
+    return rec_path, pair_path
+
+
+def run_scoring_kernel(spark, n_entities: int):
+    """The BASELINE metric in its purest form: candidate-pairs-scored/sec.
+
+    Fixed inputs from parquet; timed section = attach both sides + full
+    comparator vector (incl. fuzzy pandas UDFs) + grade decision table +
+    count. This is the kernel a 1000-executor cluster spends its time in.
+    """
+    from identity_matching_spark.operators.compare import compare_pairs_fuzzy
+    from identity_matching_spark.operators.grade import grade_pairs
+    from pyspark.sql import functions as F
+
+    rec_path, pair_path = prepare_scoring_inputs(spark, n_entities)
+    records = spark.read.parquet(rec_path)
+    # Replicate the pair list so the timed section runs tens of seconds at
+    # every parallelism level — measures steady-state scoring throughput,
+    # not job-setup latency.
+    K = 6
+    pairs = (
+        spark.read.parquet(pair_path)
+        .withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(K - 1))))
+        .drop("rep")
+    )
+    t0 = time.time()
+    scored = grade_pairs(compare_pairs_fuzzy(pairs, records, MatchConfig()))
+    # hash EVERY output column into the aggregate so Catalyst cannot prune
+    # any comparator (incl. the pandas-UDF fuzzy columns) out of the run
+    n = scored.agg(
+        F.count("*").alias("n"),
+        F.sum(F.xxhash64(F.struct(*scored.columns)).cast("decimal(38,0)")).alias("h"),
+    ).collect()[0]["n"]
+    wall = time.time() - t0
+    return wall, n
 
 
 def main():
@@ -81,6 +151,7 @@ def main():
     spark = build_session("bench", cpus=cpus)
 
     wall, pairs_scored, n_clusters, n_rows = run_headline(spark, n_entities)
+    kwall, kpairs = run_scoring_kernel(spark, n_entities)
 
     # headline operator queries over the driver-provided tables
     import __spark_entry__ as entry
@@ -102,6 +173,9 @@ def main():
         "corpus_rows": n_rows,
         "pairs_scored": pairs_scored,
         "pairs_per_sec": round(pairs_scored / wall, 1) if wall > 0 else None,
+        "kernel_sec": round(kwall, 3),
+        "kernel_pairs": kpairs,
+        "kernel_pairs_per_sec": round(kpairs / kwall, 1) if kwall > 0 else None,
         "n_clusters": n_clusters,
         "cpus": cpus,
     }

@@ -72,8 +72,24 @@ def jaro_winkler(s1: str | None, s2: str | None) -> float | None:
     return jaro + prefix * 0.1 * (1 - jaro)
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=1 << 20)
+def _jw_cached(a: str, b: str) -> float:
+    return jaro_winkler(a, b)
+
+
 @F.pandas_udf(T.DoubleType())
 def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Batched JW with per-worker memoization: blocked candidate pairs
+    repeat the same attribute pairs millions of times (hot stems), so the
+    LRU turns the dominant Python cost into dict lookups."""
+    f = _jw_cached
     return pd.Series(
-        [jaro_winkler(x, y) for x, y in zip(a.tolist(), b.tolist())], dtype="float64"
+        [
+            None if (x is None or y is None) else f(x, y)
+            for x, y in zip(a.tolist(), b.tolist())
+        ],
+        dtype="float64",
     )

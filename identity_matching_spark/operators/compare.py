@@ -163,7 +163,10 @@ def compare_pairs_fuzzy(pairs: DataFrame, records: DataFrame, config) -> DataFra
         levenshtein_ratio,
     )
 
-    enriched = enrich_phonetic(records)
+    # Enrich only if the caller didn't already (pipelines enrich once at
+    # normalize time — keeps this join side a plain relation, so Catalyst
+    # can broadcast it when small instead of shuffling the huge pair list).
+    enriched = records if "cologne_dir1" in records.columns else enrich_phonetic(records)
     cols = ATTR_COLS + PHONETIC_COLS
     lhs = enriched.select([F.col(c).alias(f"l_{c}") for c in cols])
     rhs = enriched.select([F.col(c).alias(f"r_{c}") for c in cols])

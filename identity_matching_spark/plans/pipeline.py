@@ -46,8 +46,14 @@ def run_pipeline(files: DataFrame, config: MatchConfig | None = None) -> Pipelin
 
     config = config or MatchConfig()
     # records feeds blocking, both compare sides, and the singleton union —
-    # persist so the normalize projection (sha256-heavy) runs once.
-    records = normalize_files(files).persist(StorageLevel.MEMORY_AND_DISK)
+    # persist so the normalize projection (sha256-heavy) and the phonetic
+    # pandas UDFs run once, linearly, before any pair fan-out.
+    records = normalize_files(files)
+    if config.enable_fuzzy:
+        from identity_matching_spark.operators.compare import enrich_phonetic
+
+        records = enrich_phonetic(records)
+    records = records.persist(StorageLevel.MEMORY_AND_DISK)
     blocking: BlockingResult = candidate_pairs(records, config)
     if config.enable_fuzzy:
         from identity_matching_spark.operators.compare import compare_pairs_fuzzy

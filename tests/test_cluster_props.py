@@ -1,0 +1,61 @@
+"""Connected components vs a union-find oracle on randomized graphs."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from identity_matching_spark.config import MatchConfig
+from identity_matching_spark.operators.cluster import connected_components
+
+
+def _uf_components(nodes, edges):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # fully compress, representative = min id in component
+    comp = {}
+    for n in nodes:
+        comp.setdefault(find(n), []).append(n)
+    out = {}
+    for members in comp.values():
+        rep = min(members)
+        for m in members:
+            out[m] = rep
+    return out
+
+
+@pytest.mark.parametrize("seed,n,m", [(1, 30, 20), (2, 80, 100), (3, 120, 60), (4, 50, 200)])
+def test_cc_matches_union_find(spark, seed, n, m):
+    rng = random.Random(seed)
+    nodes = [f"n{i:04d}" for i in range(n)]
+    edges = [tuple(rng.sample(nodes, 2)) for _ in range(m)]
+    edf = spark.createDataFrame(edges, ["left_id", "right_id"])
+    got = {
+        r["record_id"]: r["cluster_id"]
+        for r in connected_components(edf, MatchConfig()).collect()
+    }
+    want = _uf_components(nodes, edges)
+    touched = {a for e in edges for a in e}
+    for node in touched:
+        assert got[node] == want[node], (seed, node)
+
+
+def test_cc_chain_converges(spark):
+    """A long path graph is the worst case for label propagation — the
+    large/small-star algorithm must still converge within the bound."""
+    n = 200
+    edges = [(f"c{i:04d}", f"c{i+1:04d}") for i in range(n - 1)]
+    edf = spark.createDataFrame(edges, ["left_id", "right_id"])
+    got = connected_components(edf, MatchConfig())
+    assert got.select("cluster_id").distinct().count() == 1
+    assert got.count() == n
