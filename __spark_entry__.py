@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clusters": Q.q_clusters,
         "completeness_tier": Q.q_completeness_tier,
         "ssn4_projection": Q.q_ssn4_projection,
+        "scored_pairs_fuzzy": Q.q_scored_pairs_fuzzy,
         "minhash_lsh_portable": Q.q_minhash_lsh_portable,
         "incremental_pairs": Q.q_incremental_pairs,
         # --- training-data pipeline ops ---
@@ -241,6 +242,10 @@ def oracle_sql() -> dict[str, str]:
                  WHEN base_valid THEN 'BASE' ELSE 'INVALID' END AS tier
           FROM w""",
         "ssn4_projection": f"{P} SELECT record_id, substr(norm_sha, 61, 4) AS ssn4 FROM records WHERE length(norm_sha) > 3",
+        "scored_pairs_fuzzy": OS.fuzzy_scored_sql(
+            MatchConfig().jaro_winkler_threshold,
+            MatchConfig().levenshtein_ratio_threshold,
+        ),
         "minhash_lsh_portable": _minhash_sql(),
         "incremental_pairs": "WITH "
         + ",".join([OS.FILES_CTE, OS.RECORDS_CTE, OS.KEYS_CTE])

@@ -58,6 +58,10 @@ class MatchConfig:
     jaro_winkler_threshold: float = 0.92
     levenshtein_ratio_threshold: float = 0.85
     enable_fuzzy: bool = True
+    # Jaro-Winkler is evaluated once per DISTINCT unequal stem pair (not per
+    # candidate pair) and joined back; below this row count the JW table is
+    # broadcast so the pair stream never shuffles for it.
+    jw_distinct_broadcast_limit: int = 4_000_000
     # --- checkpoint / lineage ---
     checkpoint_dir: str | None = None  # parquet snapshot store; None = localCheckpoint only
 

@@ -174,26 +174,41 @@ def metaphone_encode(word: str | None, max_len: int = 6) -> str | None:
     return "".join(out)[:max_len]
 
 
+# Spark's UTF8String.soundex mapping: a..z -> digit class; '7' marks the
+# transparent letters h/w (skipped, previous code persists); vowels are
+# '0' (reset). Verified byte-for-byte vs F.soundex on the full stem
+# vocabulary plus edge cases (tests/test_functions.py).
+_SOUNDEX_MAP = dict(zip("abcdefghijklmnopqrstuvwxyz", "01230127022455012623017202"))
+
+
 def soundex_encode(word: str | None) -> str | None:
-    """Pure-python American Soundex — test oracle for Spark's F.soundex."""
+    """Pure-python twin of Spark's F.soundex (UTF8String.soundex), exact
+    on non-alpha input too: a non-letter RESETS the previous code (so a
+    repeated class after '_' or a digit is re-emitted), h/w are
+    transparent, output is first letter + 3 codes zero-padded."""
     if word is None:
         return None
-    w = "".join(ch for ch in word.upper() if "A" <= ch <= "Z")
-    if not w:
+    if not word:
+        return word
+    first = word[0].lower()
+    if not ("a" <= first <= "z"):
         return word  # F.soundex returns input unchanged when not encodable
-    table = {**{c: "1" for c in "BFPV"}, **{c: "2" for c in "CGJKQSXZ"},
-             **{c: "3" for c in "DT"}, "L": "4", **{c: "5" for c in "MN"}, "R": "6"}
-    first = w[0]
-    prev = table.get(first, "")
-    out = [first]
-    for ch in w[1:]:
-        code = table.get(ch, "")
-        if ch in "HW":
-            continue  # H/W transparent: previous code persists
-        if code and code != prev:
+    out = [word[0].upper()]
+    last = _SOUNDEX_MAP[first]
+    for ch in word[1:]:
+        c = ch.lower()
+        if not ("a" <= c <= "z"):
+            last = "0"
+            continue
+        code = _SOUNDEX_MAP[c]
+        if code == "7":  # h/w transparent: previous code persists
+            continue
+        if code != "0" and code != last:
             out.append(code)
-        prev = code
-    return (out[0] + "".join(out[1:]) + "000")[:4]
+            if len(out) == 4:
+                break
+        last = code
+    return "".join(out).ljust(4, "0")
 
 
 # --- pandas UDF wrappers ----------------------------------------------------

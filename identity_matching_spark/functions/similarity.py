@@ -62,7 +62,11 @@ def jaro_winkler(s1: str | None, s2: str | None) -> float | None:
             j += 1
     t //= 2
     jaro = (matches / n1 + matches / n2 + (matches - t) / matches) / 3
-    # Winkler prefix boost
+    # Winkler prefix boost, applied only above the standard 0.7 boost
+    # threshold (Winkler 1990) — also what DuckDB's builtin
+    # jaro_winkler_similarity implements, which is the oracle twin.
+    if jaro <= 0.7:
+        return jaro
     prefix = 0
     for a, b in zip(s1[:4], s2[:4]):
         if a == b:

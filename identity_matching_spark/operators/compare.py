@@ -150,18 +150,51 @@ FUZZY_FLAG_NAMES = [
 ]
 
 
+def jw_stem_table(pairs: DataFrame, records: DataFrame) -> DataFrame:
+    """Jaro-Winkler per DISTINCT unequal stem pair — not per candidate pair.
+
+    Blocked candidate pairs repeat the same (l_stem, r_stem) combination
+    millions of times (hot stems), so evaluating the pandas UDF per pair
+    makes Arrow serde + Python workers the non-scaling fraction of the
+    scoring kernel. Instead: project a slim (id, stem) map, derive the
+    distinct unequal stem pairs seen by the candidate list (map-side
+    combine keeps that shuffle tiny), run the UDF once per distinct pair,
+    and join the values back. The 100 TB pair stream never crosses the
+    Arrow boundary; equal-stem pairs (the majority under stem-family
+    blocking) are JW=1.0 by definition and never even reach this table.
+    """
+    from identity_matching_spark.functions.similarity import jaro_winkler_udf
+
+    stems = records.select("record_id", "stem")
+    l = stems.select(F.col("record_id").alias("left_id"), F.col("stem").alias("l_stem"))
+    r = stems.select(F.col("record_id").alias("right_id"), F.col("stem").alias("r_stem"))
+    return (
+        pairs.select("left_id", "right_id")
+        .join(l, "left_id")
+        .join(r, "right_id")
+        .select("l_stem", "r_stem")
+        .where(
+            F.col("l_stem").isNotNull()
+            & F.col("r_stem").isNotNull()
+            & (F.col("l_stem") != F.col("r_stem"))
+        )
+        .distinct()
+        .withColumn("jw_stem_val", jaro_winkler_udf(F.col("l_stem"), F.col("r_stem")))
+    )
+
+
 def compare_pairs_fuzzy(pairs: DataFrame, records: DataFrame, config) -> DataFrame:
     """Exact flag vector + fuzzy comparator flags.
 
     Phonetic-equality flags compare precomputed record attributes (cheap);
-    Jaro-Winkler runs in a batched pandas UDF over the pair's stems, and
+    Jaro-Winkler values come from ``jw_stem_table`` (one UDF call per
+    distinct unequal stem pair, broadcast-joined back when small), and
     Levenshtein-ratio stays a builtin Column (C16). Fuzzy columns append
     AFTER the exact flags so the exact schema/decision table is unchanged.
     """
-    from identity_matching_spark.functions.similarity import (
-        jaro_winkler_udf,
-        levenshtein_ratio,
-    )
+    from pyspark import StorageLevel
+
+    from identity_matching_spark.functions.similarity import levenshtein_ratio
 
     # Enrich only if the caller didn't already (pipelines enrich once at
     # normalize time — keeps this join side a plain relation, so Catalyst
@@ -175,8 +208,18 @@ def compare_pairs_fuzzy(pairs: DataFrame, records: DataFrame, config) -> DataFra
         .join(rhs, pairs.right_id == rhs.r_record_id, "inner")
         .drop("l_record_id", "r_record_id")
     )
+    # O(1)-scalar driver action (same pattern as the CC convergence check):
+    # count the distinct-stem JW table once to pick broadcast vs shuffle
+    # join deterministically — AQE would only downgrade the exchange after
+    # the big side's map stage already ran.
+    jwtab = jw_stem_table(pairs, enriched).persist(StorageLevel.MEMORY_AND_DISK)
+    n_jw = jwtab.count()
+    jw_side = F.broadcast(jwtab) if n_jw <= config.jw_distinct_broadcast_limit else jwtab
+    attached = attached.join(jw_side, ["l_stem", "r_stem"], "left")
     flags = comparator_flags()
-    jw = jaro_winkler_udf(F.col("l_stem"), F.col("r_stem"))
+    jw = F.when(
+        _eq(F.col("l_stem"), F.col("r_stem")), F.lit(1.0)
+    ).otherwise(F.col("jw_stem_val"))
     lev = levenshtein_ratio(F.col("l_stem"), F.col("r_stem"))
     return attached.select(
         "left_id",

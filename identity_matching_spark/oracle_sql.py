@@ -116,6 +116,115 @@ PRELUDE_PAIRS = "WITH " + ",".join([FILES_CTE, RECORDS_CTE, KEYS_CTE, PAIRS_CTE]
 
 
 # ---------------------------------------------------------------------------
+# Phonetic encodings (C14/C15) as pure DuckDB SQL — exact twins of
+# F.soundex (Spark's UTF8String.soundex semantics incl. the non-letter
+# code-reset) and functions/phonetic.cologne_encode, both validated
+# byte-for-byte on the full stem/dir1 vocabulary plus the German test
+# vectors (tests/test_oracle_phonetic_sql.py). Metaphone is a
+# variable-advance state machine with no clean SQL form and stays
+# pytest-verified only.
+# ---------------------------------------------------------------------------
+
+def _phonetic_cte() -> str:
+    from identity_matching_spark.functions.normalize import _ACCENTS, _PLAIN
+
+    tr = "'abcdefghijklmnopqrstuvwxyz', '01230127022455012623017202'"
+    norm = "lower(trim(translate({x}, '" + _ACCENTS + "', '" + _PLAIN + "')))"
+    cologne_case = """CASE
+        WHEN ch IN ('a','e','i','j','o','u','y','ä','ö','ü') THEN '0'
+        WHEN ch = 'b' THEN '1'
+        WHEN ch = 'p' THEN CASE WHEN coalesce(cw[i+1],'') = 'h' THEN '3' ELSE '1' END
+        WHEN ch IN ('d','t') THEN CASE WHEN coalesce(cw[i+1],'') IN ('c','s','z') THEN '8' ELSE '2' END
+        WHEN ch IN ('f','v','w') THEN '3'
+        WHEN ch IN ('g','k','q') THEN '4'
+        WHEN ch = 'c' THEN CASE
+          WHEN i = 1 THEN CASE WHEN coalesce(cw[i+1],'') IN ('a','h','k','l','o','q','r','u','x') THEN '4' ELSE '8' END
+          WHEN coalesce(cw[i-1],'') IN ('s','z') THEN '8'
+          ELSE CASE WHEN coalesce(cw[i+1],'') IN ('a','h','k','o','q','u','x') THEN '4' ELSE '8' END END
+        WHEN ch = 'x' THEN CASE WHEN i > 1 AND coalesce(cw[i-1],'') IN ('c','k','q') THEN '8' ELSE '48' END
+        WHEN ch = 'l' THEN '5'
+        WHEN ch IN ('m','n') THEN '6'
+        WHEN ch = 'r' THEN '7'
+        WHEN ch IN ('s','z','ß') THEN '8'
+        ELSE '' END"""
+    return f"""
+px1 AS (
+  SELECT record_id,
+    {norm.format(x='stem')} AS sx,
+    {norm.format(x='dir1')} AS cx
+  FROM records),
+px2 AS (
+  SELECT *,
+    translate(substr(sx,1,1), {tr}) AS first_code,
+    list_transform([c for c in string_split(substr(sx,2),'') if c NOT IN ('h','w')],
+      c -> CASE WHEN c BETWEEN 'a' AND 'z' THEN translate(c, {tr}) ELSE '0' END) AS s_codes,
+    [c for c in string_split(cx,'') if c ~ '[a-zäöüß]'] AS cw
+  FROM px1),
+px3 AS (
+  SELECT *,
+    list_filter(s_codes, (c,i) -> c != '0' AND c != CASE WHEN i = 1 THEN first_code ELSE s_codes[i-1] END) AS s_emitted,
+    list_transform(cw, (ch,i) -> {cologne_case}) AS c_codes
+  FROM px2),
+px4 AS (
+  SELECT *, [c for c in string_split(coalesce(array_to_string(c_codes,''),''),'')] AS cf FROM px3),
+px5 AS (
+  SELECT *, coalesce(array_to_string(list_filter(cf, (c,i) -> i = 1 OR c != cf[i-1]), ''), '') AS c_collapsed FROM px4),
+phon AS (
+  SELECT record_id,
+    CASE WHEN sx IS NULL THEN NULL
+         WHEN sx = '' THEN sx
+         WHEN NOT (substr(sx,1,1) BETWEEN 'a' AND 'z') THEN sx
+         ELSE upper(substr(sx,1,1)) || rpad(substr(coalesce(array_to_string(s_emitted,''),''),1,3),3,'0') END AS soundex_stem,
+    CASE WHEN cx IS NULL THEN NULL
+         WHEN c_collapsed = '' THEN ''
+         ELSE substr(c_collapsed,1,1) || replace(substr(c_collapsed,2),'0','') END AS cologne_dir1
+  FROM px5)
+"""
+
+
+def fuzzy_scored_sql(jw_threshold: float, lev_threshold: float) -> str:
+    """C14-C16 + verdict_phonetic over the SQL-expressible pair set.
+
+    Jaro-Winkler uses DuckDB's builtin ``jaro_winkler_similarity`` (the
+    standard Winkler 1990 boost-threshold form — functions/similarity.py
+    implements the same and is validated equal on the full stem-pair
+    cross product). Null semantics mirror the Spark side: a null on
+    either side yields NULL sim -> FALSE flag / 0.0 rounded sim.
+    """
+    jw = ("(CASE WHEN l.stem IS NOT NULL AND r.stem IS NOT NULL "
+          "THEN jaro_winkler_similarity(l.stem, r.stem) END)")
+    lev = ("(CASE WHEN l.stem IS NULL OR r.stem IS NULL THEN NULL "
+           "WHEN greatest(length(l.stem), length(r.stem)) = 0 THEN 1.0 "
+           "ELSE 1.0 - CAST(levenshtein(l.stem, r.stem) AS DOUBLE)"
+           " / greatest(length(l.stem), length(r.stem)) END)")
+    return (
+        "WITH "
+        + ",".join([FILES_CTE, RECORDS_CTE, KEYS_CTE, PAIRS_CTE, _phonetic_cte()])
+        + f""",
+fuzzy AS (
+  SELECT p.left_id, p.right_id,
+    COALESCE(pl.cologne_dir1 IS NOT NULL AND pr.cologne_dir1 IS NOT NULL
+             AND pl.cologne_dir1 = pr.cologne_dir1, FALSE) AS cologne_given_match,
+    COALESCE(pl.soundex_stem IS NOT NULL AND pr.soundex_stem IS NOT NULL
+             AND pl.soundex_stem = pr.soundex_stem, FALSE) AS soundex_family_match,
+    COALESCE({jw} >= {jw_threshold}, FALSE) AS jw_family_match,
+    COALESCE({lev} >= {lev_threshold}, FALSE) AS lev_family_match,
+    round(COALESCE({jw}, 0.0), 4) AS jw_family_sim,
+    round(COALESCE({lev}, 0.0), 4) AS lev_family_sim
+  FROM pairs p
+  JOIN records l ON p.left_id = l.record_id
+  JOIN records r ON p.right_id = r.record_id
+  JOIN phon pl ON p.left_id = pl.record_id
+  JOIN phon pr ON p.right_id = pr.record_id)
+SELECT *,
+  CASE WHEN cologne_given_match AND soundex_family_match THEN 'MATCH'
+       WHEN cologne_given_match THEN 'POSSIBLE_MATCH'
+       ELSE 'NO_MATCH' END AS verdict_phonetic
+FROM fuzzy"""
+    )
+
+
+# ---------------------------------------------------------------------------
 # Comparator flags + decision table, generated from one shared spec.
 # (name, sql_expr_template) — templates use l.<col>/r.<col>.
 # ---------------------------------------------------------------------------

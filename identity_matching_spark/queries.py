@@ -182,6 +182,33 @@ def q_ssn4_projection(spark, sf_dir):
     )
 
 
+def q_scored_pairs_fuzzy(spark, sf_dir):
+    """C14-C16 + G3 phonetic verdict: fuzzy comparator flags over the
+    SQL-expressible pair set. Soundex/cologne compare per-record encodings
+    (enriched once, linear); Jaro-Winkler comes from the distinct-stem-pair
+    table (operators/compare.jw_stem_table); metaphone is pytest-only (no
+    SQL twin for its variable-advance state machine)."""
+    from identity_matching_spark.operators.compare import (
+        compare_pairs_fuzzy,
+        enrich_phonetic,
+    )
+    from identity_matching_spark.operators.grade import mdm_phonetic_verdict_expr
+
+    records, pairs = _pairs(spark, sf_dir)
+    flagged = compare_pairs_fuzzy(pairs, enrich_phonetic(records), MatchConfig())
+    return flagged.select(
+        "left_id",
+        "right_id",
+        "cologne_given_match",
+        "soundex_family_match",
+        "jw_family_match",
+        "lev_family_match",
+        "jw_family_sim",
+        "lev_family_sim",
+        mdm_phonetic_verdict_expr().alias("verdict_phonetic"),
+    )
+
+
 def q_minhash_lsh_portable(spark, sf_dir):
     """MinHash-LSH band keys with the portable sha-based hash (the
     oracle-checkable twin of the fast xxhash64 family used in blocking)."""

@@ -1,0 +1,84 @@
+"""Local mimic of the driver's correctness gate for the newest oracle
+twins: run the Spark query AND its DuckDB oracle SQL side-by-side on the
+sf0.001 tables, sort columns by name / rows by value, compare exactly.
+
+Also validates the pure-SQL phonetic encoders (oracle_sql._phonetic_cte)
+byte-for-byte against the python encoders over the real stem/dir1
+vocabulary plus the German vectors — the guarantee the fuzzy oracle
+relies on.
+"""
+
+import os
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry
+from identity_matching_spark import oracle_sql as OS
+from identity_matching_spark.functions.phonetic import cologne_encode, soundex_encode
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+def _duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def _normalized(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", ["scored_pairs_fuzzy"])
+def test_query_matches_oracle(spark, name):
+    q = entry.queries()[name]
+    sql = entry.oracle_sql()[name]
+    got = _normalized(q(spark, SF).toPandas())
+    want = _normalized(_duck().execute(sql).df())
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want)
+    for c in got.columns:
+        if got[c].dtype.kind == "f":
+            assert (got[c] - want[c]).abs().max() < 1e-9, c
+        else:
+            assert (got[c] == want[c]).all(), c
+
+
+def test_sql_phonetics_match_python():
+    con = _duck()
+    vocab = [r[0] for r in con.execute(
+        OS.PRELUDE + " SELECT DISTINCT lower(trim(stem)) FROM records WHERE stem IS NOT NULL"
+    ).fetchall()]
+    vocab += ["müller-lüdenscheidt", "breschnew", "wikipedia", "meyer", "maier",
+              "", "xavier", "cxc", "accent", "czar", "pfister", "schmidt",
+              "hash_sort_2", "agg_small_6", "x9y", "aa__aa", "hhh"]
+    c2 = duckdb.connect()
+    c2.register("voc", pd.DataFrame({"w": vocab}))
+    # reuse the exact CTE chain by aliasing voc as a one-column records table
+    sql = ("WITH records AS (SELECT w AS record_id, w AS stem, w AS dir1 FROM voc),"
+           + OS._phonetic_cte()
+           + " SELECT record_id, soundex_stem, cologne_dir1 FROM phon")
+    out = c2.execute(sql).df()
+    from identity_matching_spark.functions.normalize import _ACCENTS, _PLAIN
+
+    fold = str.maketrans(_ACCENTS, _PLAIN)
+    for _, row in out.iterrows():
+        w = row["record_id"]
+        # hapi_norm is applied inside the CTE; mirror it here
+        norm = w.translate(fold).lower().strip()
+        assert row["soundex_stem"] == soundex_encode(norm), ("soundex", w)
+        assert row["cologne_dir1"] == cologne_encode(norm), ("cologne", w)
