@@ -41,6 +41,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocking_keys": Q.q_blocking_keys,
         "candidate_pairs": Q.q_candidate_pairs,
         "scored_pairs": Q.q_scored_pairs,
+        "match_messages": Q.q_match_messages,
         "grade_distribution": Q.q_grade_distribution,
         "weight_distribution": Q.q_weight_distribution,
         "mdm_verdicts": Q.q_mdm_verdicts,
@@ -206,6 +207,7 @@ def oracle_sql() -> dict[str, str]:
         "scored_pairs": f"""{PS} SELECT left_id, right_id,
             {', '.join(OS.FLAG_SQL)}, CAST(score AS DOUBLE) AS score, weight, verdict
             FROM scored""",
+        "match_messages": OS.match_messages_sql(),
         "grade_distribution": f"{PS} SELECT CAST(score AS DOUBLE) AS score, count(*) AS n_pairs FROM scored GROUP BY 1",
         "weight_distribution": f"{PS} SELECT weight, count(*) AS n_pairs FROM scored GROUP BY 1",
         "mdm_verdicts": f"{PS} SELECT verdict, count(*) AS n_pairs FROM scored GROUP BY 1",

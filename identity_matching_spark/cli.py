@@ -75,10 +75,30 @@ def main(argv: list[str] | None = None) -> int:
     n_clusters = (
         spark.read.parquet(f"{args.output}/clusters").select("cluster_id").distinct().count()
     )
+    # S7/F8: when the run yields zero match edges, emit the no-match
+    # OperationOutcome analog — one row with a fresh uuid identity
+    # (IdentityMatching.java:486-495: OperationOutcome entry with uuid
+    # fullUrl and an informational "no matches" issue).
+    n_edges = (
+        spark.read.parquet(f"{args.output}/scored_pairs")
+        .filter(F.col("score") >= F.lit(args.cluster_threshold))
+        .count()
+    )
+    no_match = n_edges == 0
+    if no_match:
+        outcome = spark.range(1).select(
+            F.expr("uuid()").alias("outcome_id"),
+            F.lit("information").alias("severity"),
+            F.lit("informational").alias("code"),
+            F.lit("No matches found.").alias("diagnostics"),
+        )
+        outcome.write.mode("overwrite").parquet(f"{args.output}/outcome")
     wall = time.time() - t0
     print(json.dumps({
         "pairs_scored": n_pairs,
+        "n_match_edges": n_edges,
         "n_clusters": n_clusters,
+        "no_match_outcome": no_match,
         "wall_sec": round(wall, 2),
         "pairs_per_sec": round(n_pairs / wall, 1) if wall else None,
     }))

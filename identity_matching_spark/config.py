@@ -42,7 +42,9 @@ class MatchConfig:
     # families instead fall back to star edges above identity_star_threshold.
     max_block_size: int = 1000
     # Per-family overrides: name-family blocks are the classic hot keys
-    # (main.py / index.js); blocks beyond this are dropped WITH a report.
+    # (main.py / index.js); blocks beyond this are SUB-SALTED (split into
+    # sqrt-sized salt cells, action='subsalted' in block_stats) — reduced
+    # intra-block recall, never a silent drop.
     # Tuple of (family, cap) pairs (kept hashable for frozen dataclass).
     family_block_caps: tuple[tuple[str, int], ...] = (
         ("name_prefix", 128),
@@ -62,6 +64,14 @@ class MatchConfig:
     # candidate pair) and joined back; below this row count the JW table is
     # broadcast so the pair stream never shuffles for it.
     jw_distinct_broadcast_limit: int = 4_000_000
+    # --- input validation (P3-P6; IdentityMatching.java:519-560) ---
+    # Records whose completeness tier ranks below this are dropped before
+    # blocking: "NONE" | "BASE" | "L0" | "L1". The synthetic corpus is
+    # fully base-valid, so "BASE" mirrors the reference's always-on
+    # base-profile validation without changing healthy-corpus results.
+    validation_level: str = "BASE"
+    # Header-override analog (X-Bypass-Validation): gate skipped entirely.
+    validation_override: bool = False
     # --- checkpoint / lineage ---
     checkpoint_dir: str | None = None  # parquet snapshot store; None = localCheckpoint only
 

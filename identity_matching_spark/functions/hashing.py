@@ -121,20 +121,32 @@ def simhash64(tokens: Column, fast: bool = True) -> Column:
     """
     h = hash64_fast if fast else hash64_sha
     hashes = F.transform(tokens, lambda t: h(t))
-
-    def vote(b):
-        return F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, x: acc
-            + (F.shiftrightunsigned(x, b).bitwiseAND(F.lit(1)).cast("long") * 2 - 1),
-        )
-
-    bits = [F.when(vote(b) > 0, F.lit(1).cast("long")).otherwise(F.lit(0)) for b in range(64)]
-    packed = F.lit(0).cast("long")
-    for b, bit in enumerate(bits):
-        packed = packed.bitwiseOR(F.shiftleft(bit, b))
-    return packed
+    # Bit masks for b=0..63 as signed-long literals (1<<63 is the sign bit).
+    masks = F.array(
+        *[F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long") for b in range(64)]
+    )
+    # ONE fold over the token-hash array with an array<long> of 64 vote
+    # counters (zip_with inside the accumulator) — not 64 separate
+    # aggregates re-walking the array per bit (O(64*n_tokens) expression
+    # evals). Bit-identical to the per-bit formulation.
+    init = F.array_repeat(F.lit(0).cast("long"), 64)
+    votes = F.aggregate(
+        hashes,
+        init,
+        lambda acc, x: F.zip_with(
+            acc,
+            masks,
+            lambda a, m: a + F.when(x.bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        ),
+    )
+    # Pack: OR the mask of every bit whose vote is positive.
+    return F.aggregate(
+        F.zip_with(
+            votes, masks, lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long"))
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
 
 
 def hamming64(a: Column, b: Column) -> Column:

@@ -124,6 +124,51 @@ def compare_pairs(pairs: DataFrame, records: DataFrame) -> DataFrame:
     return out
 
 
+# --- match messages (A3) ----------------------------------------------------
+
+# Per-flag human-readable messages, verbatim from
+# IdentityMatchingScorer.java:98-231 (incl. the missing period on the
+# state message). The reference emits the distinct messages in setter-
+# invocation order; each flag fires at most once here, so a filtered
+# array in FLAG_NAMES order is the same distinct set.
+MATCH_MESSAGES: list[tuple[str, str]] = [
+    ("mrn_match", "A matching medical record number was found."),
+    ("digital_id_match", "A matching digital identifier was found."),
+    ("ssn_match", "A matching social security number was found."),
+    ("ssn_last4_match", "A matching social security number (last 4 digits) was found."),
+    ("drivers_license_match", "A matching drivers license number was found."),
+    ("passport_match", "A matching passport number was found."),
+    ("insurance_member_match", "A matching insurance member was found."),
+    ("insurance_subscriber_match", "A matching insurance subscriber was found."),
+    ("family_name_match", "A matching last name was found."),
+    ("first_name_match", "A matching first name was found."),
+    ("middle_name_match", "A matching middle name was found."),
+    ("middle_initial_match", "A matching middle initial was found."),
+    ("birth_sex_match", "A matching birth sex was found."),
+    ("birth_date_match", "A matching birthdate was found."),
+    ("phone_match", "A matching phone number was found."),
+    ("email_match", "A matching email address was found."),
+    ("address_line_match", "A matching address line of residence was found."),
+    ("address_city_match", "A matching city of residence was found."),
+    ("address_state_match", "A matching state of residence was found"),
+    ("address_postal_match", "A matching postal code (first 5 digits) was found."),
+]
+
+
+def match_messages_expr() -> Column:
+    """array<string> of messages for the fired flags (A3,
+    IdentityMatchingScorer.java:91-93 getMatchMessages distinct)."""
+    return F.filter(
+        F.array(
+            *[
+                F.when(F.col(flag), F.lit(msg)).otherwise(F.lit(None).cast("string"))
+                for flag, msg in MATCH_MESSAGES
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+
+
 # --- fuzzy extension (C14-C16) ----------------------------------------------
 
 PHONETIC_COLS = ["cologne_dir1", "soundex_stem", "metaphone_stem"]

@@ -46,22 +46,34 @@ def near_dup_pairs_minhash(
     rows_per_band = max(1, num_perm // bands)
     sh = word_shingles(norm_ws(F.col(text_col)), shingle_words)
     base = df.select(F.col(id_col).alias("id"), sh.alias("sh"))
-    sig = base.select(
-        "id", "sh", minhash_signature(F.col("sh"), num_perm).alias("sig")
+    # The band-bucket join carries ONLY (bucket, id): at corpus scale the
+    # shingle arrays would otherwise ride the shuffle twice x bands
+    # (~2*bands*corpus payload). Candidates are deduped first, then the
+    # (much smaller) surviving pair list re-attaches shingles by id - two
+    # slim shuffles instead of one fat one (same pattern as
+    # compare.attach_sides for records).
+    keyed = base.select(
+        "id",
+        F.explode(
+            lsh_band_keys(minhash_signature(F.col("sh"), num_perm), bands, rows_per_band)
+        ).alias("bucket"),
     )
-    keyed = sig.select(
-        "id", "sh", F.explode(lsh_band_keys(F.col("sig"), bands, rows_per_band)).alias("bucket")
-    )
-    l = keyed.select(F.col("bucket"), F.col("id").alias("a"), F.col("sh").alias("sa"))
-    r = keyed.select(F.col("bucket"), F.col("id").alias("b"), F.col("sh").alias("sb"))
+    l = keyed.select(F.col("bucket"), F.col("id").alias("a"))
+    r = keyed.select(F.col("bucket"), F.col("id").alias("b"))
     cands = (
         l.join(r, "bucket")
         .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
         .dropDuplicates(["a", "b"])
     )
+    sa = base.select(F.col("id").alias("a"), F.col("sh").alias("sa"))
+    sb = base.select(F.col("id").alias("b"), F.col("sh").alias("sb"))
     jac = F.size(F.array_intersect("sa", "sb")) / F.size(F.array_union("sa", "sb"))
-    return cands.select("a", "b", F.round(jac, 4).alias("jaccard")).filter(
-        F.col("jaccard") >= jaccard_threshold
+    return (
+        cands.join(sa, "a")
+        .join(sb, "b")
+        .select("a", "b", F.round(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= jaccard_threshold)
     )
 
 
@@ -69,16 +81,30 @@ def near_dup_pairs_simhash(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    max_hamming: int = 8,
-    prefix_bits: int = 16,
+    max_hamming: int = 7,
+    prefix_bits: int = 8,
+    allow_partial_recall: bool = False,
 ) -> DataFrame:
-    """SimHash near-dup: 64-bit fingerprints, blocked by rotated bit-prefix
-    bands (4 rotations x 16 bits — any pair within hamming distance 3 of a
-    band boundary collides in >=1 band), verified by exact hamming."""
+    """SimHash near-dup: 64-bit fingerprints, blocked by bit-segment bands
+    (64/prefix_bits bands), verified by exact hamming.
+
+    Recall guarantee (pigeonhole): with B bands, any pair at hamming
+    distance <= B-1 shares at least one unchanged band, so candidates at
+    distance <= B-1 are complete. Defaults (8 bands x 8 bits) therefore
+    guarantee max_hamming=7. Asking for a larger max_hamming than the
+    banding can guarantee is a silent recall cap — rejected unless the
+    caller passes ``allow_partial_recall=True`` (pairs beyond B-1 are then
+    returned only when they happen to collide)."""
+    bands = 64 // prefix_bits
+    if max_hamming > bands - 1 and not allow_partial_recall:
+        raise ValueError(
+            f"banding with {bands} bands guarantees candidate recall only up to "
+            f"hamming {bands - 1}; requested max_hamming={max_hamming}. Use more "
+            f"bands (smaller prefix_bits) or pass allow_partial_recall=True."
+        )
     fp = df.select(
         F.col(id_col).alias("id"), simhash64(tokens_of(F.col(text_col))).alias("sh")
     )
-    bands = 64 // prefix_bits
     keyed = fp.select(
         "id", "sh",
         F.explode(
@@ -122,13 +148,22 @@ def near_dup_pairs_embedding(
     u = with_unit_vectors(emb, id_col, vec_col)
     dim = len(emb.select(vec_col).first()[0])
     sigs = F.array(*[_rhp_signature(F.col("unit"), dim, n_bits, t) for t in range(n_tables)])
-    keyed = u.select("vec_id", "unit", F.explode(sigs).alias("bucket"))
-    l = keyed.select("bucket", F.col("vec_id").alias("a"), F.col("unit").alias("ua"))
-    r = keyed.select("bucket", F.col("vec_id").alias("b"), F.col("unit").alias("ub"))
-    return (
+    # Bucket join on (bucket, vec_id) only; unit vectors re-attach to the
+    # deduped candidate list by id (slim shuffle - see near_dup_pairs_minhash).
+    keyed = u.select("vec_id", F.explode(sigs).alias("bucket"))
+    l = keyed.select("bucket", F.col("vec_id").alias("a"))
+    r = keyed.select("bucket", F.col("vec_id").alias("b"))
+    cands = (
         l.join(r, "bucket")
         .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
         .dropDuplicates(["a", "b"])
+    )
+    ua = u.select(F.col("vec_id").alias("a"), F.col("unit").alias("ua"))
+    ub = u.select(F.col("vec_id").alias("b"), F.col("unit").alias("ub"))
+    return (
+        cands.join(ua, "a")
+        .join(ub, "b")
         .select("a", "b", F.round(_dot(F.col("ua"), F.col("ub")), 6).alias("cosine"))
         .filter(F.col("cosine") >= cosine_threshold)
     )

@@ -343,3 +343,20 @@ scored AS (
 PRELUDE_SCORED = "WITH " + ",".join(
     [FILES_CTE, RECORDS_CTE, KEYS_CTE, PAIRS_CTE, SCORED_PAIRS_CTE]
 )
+
+
+def match_messages_sql() -> str:
+    """A3 twin: per-pair fired-flag messages, exploded to scalar rows.
+    Generated from the same flag->message spec as the Spark side
+    (operators/compare.MATCH_MESSAGES) so the two cannot drift."""
+    from identity_matching_spark.operators.compare import MATCH_MESSAGES
+
+    items = ",\n      ".join(
+        f"CASE WHEN {name} THEN '{msg}' END" for name, msg in MATCH_MESSAGES
+    )
+    return (
+        PRELUDE_SCORED
+        + f""" SELECT left_id, right_id,
+      unnest(list_filter([{items}], x -> x IS NOT NULL)) AS message
+    FROM flagged"""
+    )

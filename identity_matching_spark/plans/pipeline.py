@@ -29,6 +29,7 @@ from identity_matching_spark.operators.cluster import (
 from identity_matching_spark.operators.compare import compare_pairs
 from identity_matching_spark.operators.grade import grade_pairs
 from identity_matching_spark.operators.normalize import normalize_files
+from identity_matching_spark.operators.validate import validation_gate
 
 
 @dataclass
@@ -48,7 +49,7 @@ def run_pipeline(files: DataFrame, config: MatchConfig | None = None) -> Pipelin
     # records feeds blocking, both compare sides, and the singleton union —
     # persist so the normalize projection (sha256-heavy) and the phonetic
     # pandas UDFs run once, linearly, before any pair fan-out.
-    records = normalize_files(files)
+    records = validation_gate(normalize_files(files), config)
     if config.enable_fuzzy:
         from identity_matching_spark.operators.compare import enrich_phonetic
 
@@ -61,7 +62,7 @@ def run_pipeline(files: DataFrame, config: MatchConfig | None = None) -> Pipelin
         flagged = compare_pairs_fuzzy(blocking.pairs, records, config)
     else:
         flagged = compare_pairs(blocking.pairs, records)
-    scored = grade_pairs(flagged).persist(StorageLevel.MEMORY_AND_DISK)
+    scored = grade_pairs(flagged, with_messages=True).persist(StorageLevel.MEMORY_AND_DISK)
     edges = scored.filter(F.col("score") >= F.lit(config.cluster_threshold)).select(
         "left_id", "right_id"
     )
@@ -97,7 +98,9 @@ def run_checkpointed(
 ) -> dict[str, DataFrame]:
     """Run with per-stage parquet checkpoints + lineage/metrics rows.
 
-    Lineage schema (FIXTURES.md §4): stage, rows_out, wall_sec, ts.
+    Lineage schema (FIXTURES.md §4): stage, rows_out, n_partitions,
+    wall_sec, ts, partitions = array of per-partition {file, rows, bytes}
+    (north_rule: per-partition lineage + metrics).
     Resume: stages with a _SUCCESS manifest are read back, not recomputed.
     """
     from identity_matching_spark.sources.snapshots import SnapshotStore
@@ -112,10 +115,25 @@ def run_checkpointed(
         t0 = time.time()
         df = build()
         store.write(name, df)
-        store.log_lineage(name, rows_out=store.count(name), wall_sec=time.time() - t0)
+        parts = store.partition_metrics(name)
+        store.log_lineage(
+            name,
+            rows_out=sum(p["rows"] for p in parts),
+            n_partitions=len(parts),
+            wall_sec=time.time() - t0,
+            partitions=parts,
+        )
         out[name] = store.read(name)
 
-    stage("records", lambda: normalize_files(files))
+    def build_records():
+        records = validation_gate(normalize_files(files), config)
+        if config.enable_fuzzy:
+            from identity_matching_spark.operators.compare import enrich_phonetic
+
+            records = enrich_phonetic(records)
+        return records
+
+    stage("records", build_records)
     blocking_holder: dict[str, BlockingResult] = {}
 
     def build_pairs():
@@ -125,7 +143,20 @@ def run_checkpointed(
         return b.pairs
 
     stage("pairs", build_pairs)
-    stage("scored_pairs", lambda: grade_pairs(compare_pairs(out["pairs"], out["records"])))
+
+    def build_scored():
+        # Same comparator set as run_pipeline: fuzzy columns +
+        # verdict_phonetic when config.enable_fuzzy (the two code paths
+        # must not diverge in output schema).
+        if config.enable_fuzzy:
+            from identity_matching_spark.operators.compare import compare_pairs_fuzzy
+
+            flagged = compare_pairs_fuzzy(out["pairs"], out["records"], config)
+        else:
+            flagged = compare_pairs(out["pairs"], out["records"])
+        return grade_pairs(flagged, with_messages=True)
+
+    stage("scored_pairs", build_scored)
     stage(
         "edges",
         lambda: out["scored_pairs"]

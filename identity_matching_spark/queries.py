@@ -100,6 +100,21 @@ def q_scored_pairs(spark, sf_dir):
     return _scored(spark, sf_dir)
 
 
+def q_match_messages(spark, sf_dir):
+    """A3: distinct human-readable match messages per pair
+    (IdentityMatchingScorer.java:91-234), exploded to scalar rows so the
+    value-hash check covers the array contents."""
+    from identity_matching_spark.operators.compare import match_messages_expr
+
+    records, pairs = _pairs(spark, sf_dir)
+    flagged = compare_pairs(pairs, records)
+    return flagged.select(
+        "left_id",
+        "right_id",
+        F.explode(match_messages_expr()).alias("message"),
+    )
+
+
 def q_grade_distribution(spark, sf_dir):
     """A2-style aggregate over G1 output."""
     return (
@@ -143,33 +158,17 @@ def q_clusters(spark, sf_dir):
 
 def q_completeness_tier(spark, sf_dir):
     """P3/P4: weighted input-completeness validation tiers
-    (IdentityMatching.java:48-50, weights IdentityMatchingScorer.java:71-89)."""
-    r = _records(spark, sf_dir)
-    present = lambda c: F.col(c).isNotNull() & (F.col(c) != "")  # noqa: E731
-    n_other = (
-        present("norm_sha").cast("int")
-        + present("ins_member_sha").cast("int")
-        + present("ins_subscriber_sha").cast("int")
+    (IdentityMatching.java:48-50, weights IdentityMatchingScorer.java:71-89);
+    the runtime gate over these tiers is operators/validate.validation_gate."""
+    from identity_matching_spark.operators.validate import (
+        completeness_weight_expr,
+        tier_expr,
     )
-    weight = (
-        F.when(present("shape_sha"), 10).otherwise(0)
-        + F.when(n_other == 1, 4).when(n_other > 1, 5).otherwise(0)
-        + F.when(present("stem") & present("dir1"), 3).otherwise(0)
-        + F.when(F.col("size_bucket").isNotNull(), 2).otherwise(0)
-    ).cast("int")
-    base_valid = (
-        present("content_sha256")
-        | (present("stem") & present("dir1"))
-        | F.col("size_bucket").isNotNull()
-    )
-    return r.select(
+
+    return _records(spark, sf_dir).select(
         "record_id",
-        weight.alias("weight"),
-        F.when(weight >= 10, "L1")
-        .when(weight >= 9, "L0")
-        .when(base_valid, "BASE")
-        .otherwise("INVALID")
-        .alias("tier"),
+        completeness_weight_expr().alias("weight"),
+        tier_expr().alias("tier"),
     )
 
 
@@ -536,11 +535,13 @@ def q_dedup_minhash_fast(spark, sf_dir):
 
 
 def q_dedup_simhash_fast(spark, sf_dir):
-    """SimHash near-dup pairs with banded bit-prefix blocking (rows-only)."""
+    """SimHash near-dup pairs with banded bit-segment blocking (rows-only).
+    8x8-bit bands: candidate recall is COMPLETE up to hamming 7 (pigeonhole
+    over bands — no silent cap)."""
     from identity_matching_spark.operators.dedup import near_dup_pairs_simhash
 
     d = load_table(spark, sf_dir, "documents")
-    return near_dup_pairs_simhash(d, "doc_id", "text", max_hamming=8)
+    return near_dup_pairs_simhash(d, "doc_id", "text", max_hamming=7)
 
 
 def q_ann_lsh(spark, sf_dir):

@@ -75,6 +75,60 @@ def windowed_event_counts(
     return spark.table(name)
 
 
+def run_windowed_counts_append(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    schema,
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+) -> None:
+    """Production-shaped streaming path: file-source directory ->
+    ``withWatermark`` -> tumbling window agg -> APPEND-mode parquet sink
+    with a checkpoint.
+
+    Unlike the complete-mode memory-sink oracle surface above, state here
+    lives in the executors' state store bounded by the watermark (closed
+    windows are emitted once and purged), and the checkpoint carries the
+    watermark across restarts — the shape that survives an unbounded
+    stream. Late rows older than the watermark are dropped (asserted by
+    tests/test_multimodal_streaming.py on a two-batch directory).
+
+    Runs one ``processAllAvailable`` drain and stops; production would
+    leave the query running or use ``trigger(availableNow=True)`` on a
+    schedule.
+    """
+    stream = spark.readStream.schema(schema).format("parquet").load(input_dir)
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
 def windowed_event_counts_batch(spark: SparkSession, events_path: str) -> DataFrame:
     """Batch twin of the streaming agg WITHOUT the append-mode watermark
     cutoff — the oracle-comparable complete result."""

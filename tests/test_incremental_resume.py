@@ -57,8 +57,16 @@ def test_checkpoint_resume_identical_clusters(spark, tmp_path):
     assert c1 == c2
     lineage = out2["lineage"]
     assert lineage is not None
-    stages = {r["stage"] for r in lineage.collect()}
+    rows = lineage.collect()
+    stages = {r["stage"] for r in rows}
     assert {"records", "pairs", "scored_pairs", "edges", "clusters"} <= stages
+    # per-partition lineage (north_rule): every logged stage carries
+    # per-partition {file, rows, bytes} whose rows sum to rows_out
+    for r in rows:
+        parts = r["partitions"]
+        assert parts and len(parts) == r["n_partitions"]
+        assert sum(p["rows"] for p in parts) == r["rows_out"]
+        assert all(p["bytes"] > 0 and p["file"] for p in parts)
 
 
 def test_snapshot_store_roundtrip(spark, tmp_path):

@@ -77,3 +77,37 @@ def test_streaming_window_agg_matches_batch(spark):
     b = sorted(tuple(r) for r in batch_out.collect())
     assert s == b
     assert len(s) > 0
+
+
+def test_append_mode_watermark_drops_late_data(spark, tmp_path):
+    """Two-batch drive of the production append-mode path: the second
+    batch carries a late row older than the watermark — it must be
+    dropped and already-emitted windows must not change."""
+    import datetime as dt
+
+    from identity_matching_spark.streaming.windows import run_windowed_counts_append
+
+    T = lambda h, m: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    schema = "event_id long, user_id long, event_type string, ts timestamp, value double"
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    batch1 = [(1, 1, "click", T(1, 10), 1.0), (2, 1, "click", T(1, 20), 2.0),
+              (3, 2, "view", T(3, 0), 3.0)]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode("append").parquet(src)
+    run_windowed_counts_append(spark, src, out, ckpt, spark.read.parquet(src).schema)
+    first = {(r["window_start"], r["event_type"]): r["n"]
+             for r in spark.read.parquet(out).collect()}
+    # watermark after batch1 = 03:00 - 30min = 02:30 -> window 01:00 closed
+    assert first == {(T(1, 0), "click"): 2}
+
+    # batch 2: one LATE row (01:40 < watermark 02:30) + one fresh row
+    batch2 = [(4, 3, "click", T(1, 40), 9.0), (5, 2, "view", T(5, 0), 4.0)]
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode("append").parquet(src)
+    run_windowed_counts_append(spark, src, out, ckpt, spark.read.parquet(src).schema)
+    final = {(r["window_start"], r["event_type"]): r["n"]
+             for r in spark.read.parquet(out).collect()}
+    # late click dropped: window 01:00 count still 2, no duplicate row;
+    # window 03:00 closed by the new watermark (05:00 - 30min)
+    assert final == {(T(1, 0), "click"): 2, (T(3, 0), "view"): 1}

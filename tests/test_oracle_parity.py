@@ -43,7 +43,7 @@ def _normalized(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
-@pytest.mark.parametrize("name", ["scored_pairs_fuzzy"])
+@pytest.mark.parametrize("name", ["scored_pairs_fuzzy", "match_messages"])
 def test_query_matches_oracle(spark, name):
     q = entry.queries()[name]
     sql = entry.oracle_sql()[name]

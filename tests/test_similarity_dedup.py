@@ -91,6 +91,20 @@ def test_simhash_near_dup_finds_planted(spark, docs):
         F.regexp_replace("text", r"\bthe\b", "thee").alias("text"),
     )
     d = docs.select("doc_id", "text").unionByName(dup)
-    pairs = near_dup_pairs_simhash(d, "doc_id", "text", max_hamming=10)
+    pairs = near_dup_pairs_simhash(
+        d, "doc_id", "text", max_hamming=10, prefix_bits=4
+    )  # 16 bands: complete recall up to hamming 15 >= requested 10
     planted = pairs.filter(F.col("b") - F.col("a") == 100000)
     assert planted.count() >= 7
+
+
+def test_simhash_rejects_silent_recall_cap(spark, docs):
+    import pytest
+
+    with pytest.raises(ValueError, match="recall"):
+        near_dup_pairs_simhash(docs, "doc_id", "text", max_hamming=10, prefix_bits=16)
+    # explicit opt-in to probabilistic recall beyond bands-1 is allowed
+    near_dup_pairs_simhash(
+        docs.limit(5), "doc_id", "text", max_hamming=10, prefix_bits=16,
+        allow_partial_recall=True,
+    ).count()
