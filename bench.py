@@ -153,7 +153,11 @@ def main():
     wall, pairs_scored, n_clusters, n_rows = run_headline(spark, n_entities)
     kwall, kpairs = run_scoring_kernel(spark, n_entities)
 
-    # headline operator queries over the driver-provided tables
+    # headline operator queries over the driver-provided tables.
+    # Drop pipeline/kernel persisted blocks first: query wall times must
+    # measure the query, not eviction churn against leftover cache.
+    spark.catalog.clearCache()
+
     import __spark_entry__ as entry
 
     qs = entry.queries()

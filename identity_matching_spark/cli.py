@@ -5,6 +5,18 @@ Reads the corpus (parquet path or ``synthetic:<n_entities>``), runs the
 checkpointed pipeline, writes clusters/scored_pairs/lineage under
 --output, and prints a one-line JSON summary. Uses the ambient
 SparkSession when launched by spark-submit; builds a local one otherwise.
+
+Output-assembly parity notes (SURVEY.md §2.8):
+
+* S7/F8 — a run with zero match edges writes a one-row ``outcome``
+  frame with a fresh uuid identity (the no-match OperationOutcome
+  entry, IdentityMatching.java:486-495).
+* O3 — the reference prepends the requesting Organization resource at
+  bundle index 0 (IdentityMatching.java:205-214). That is FHIR bundle
+  assembly for the HTTP response envelope: a batch engine emits tables,
+  not bundles, so there is no index-0 entry to prepend. Deliberately
+  not implemented; callers assembling FHIR responses from these tables
+  own envelope construction.
 """
 
 from __future__ import annotations

@@ -10,16 +10,19 @@ Catalyst can plan; converges in O(log n) rounds on real graphs.
 
 * Deterministic cluster ids: the component representative is the MIN
   record_id (string order), so reruns and resumes produce identical ids.
-* Per-iteration ``localCheckpoint`` truncates lineage (a must for any
-  iterative DataFrame loop), and with a checkpoint dir configured each
-  iteration's edge set is persisted to parquet with iteration metadata —
-  the resume path (north_rule: resumable from snapshot) re-reads the last
-  iteration and continues.
+* Per-iteration materialization truncates lineage (a must for any
+  iterative DataFrame loop): ``localCheckpoint`` when no
+  ``config.checkpoint_dir`` is set, else durable parquet snapshots
+  ``cc_iter_NNN`` — the resume path (north_rule: resumable from
+  snapshot) restarts from the last complete iteration
+  (tests/test_cluster_props.py::test_cc_durable_checkpoint_resume).
 * Convergence check piggybacks on the same job that materializes the
   iteration (count of changed labels).
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -76,6 +79,7 @@ def connected_components(
     no-edge isolation are the caller's concern (pipeline unions singletons).
     """
     config = config or MatchConfig()
+    ckpt = config.checkpoint_dir
 
     def _sig(df: DataFrame) -> tuple:
         # One cheap aggregation instead of an exceptAll shuffle: the edge
@@ -88,10 +92,39 @@ def connected_components(
         ).collect()[0]
         return (row["n"], row["h"])
 
-    e = _canonical_edges(edges).localCheckpoint()
+    # With a checkpoint dir each iteration's edge set persists DURABLY
+    # (parquet + _SUCCESS manifest per iteration) and lineage truncates by
+    # reading it back — a crash resumes from the last complete iteration
+    # instead of re-deriving from raw edges. Without one, localCheckpoint
+    # gives the same lineage truncation ephemeral-only.
+    spark = edges.sparkSession
+
+    def _materialize(df: DataFrame, it: int) -> DataFrame:
+        if ckpt is None:
+            return df.localCheckpoint()
+        path = os.path.join(ckpt, f"cc_iter_{it:03d}")
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    done: list[int] = []
+    if ckpt is not None:
+        os.makedirs(ckpt, exist_ok=True)
+        done = sorted(
+            int(d.rsplit("_", 1)[-1])
+            for d in os.listdir(ckpt)
+            if d.startswith("cc_iter_")
+            and os.path.exists(os.path.join(ckpt, d, "_SUCCESS"))
+        )
+    if done:
+        e = spark.read.parquet(os.path.join(ckpt, f"cc_iter_{done[-1]:03d}"))
+        start_it = done[-1] + 1
+    else:
+        e = _materialize(_canonical_edges(edges), 0)
+        start_it = 1
     sig = _sig(e)
-    for it in range(config.cc_max_iterations):
-        e2 = _small_star(_large_star(e)).localCheckpoint()
+    for it in range(start_it, start_it + config.cc_max_iterations):
+        e2 = _materialize(_small_star(_large_star(e)), it)
         sig2 = _sig(e2)
         if on_iteration is not None:
             on_iteration(it, e2)

@@ -14,6 +14,7 @@ from the last complete stage (north_rule resumability).
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass
 
@@ -157,16 +158,28 @@ def run_checkpointed(
         return grade_pairs(flagged, with_messages=True)
 
     stage("scored_pairs", build_scored)
-    stage(
-        "edges",
-        lambda: out["scored_pairs"]
-        .filter(F.col("score") >= F.lit(config.cluster_threshold))
-        .select("left_id", "right_id"),
-    )
+    def build_edges():
+        # a rebuilt edge set invalidates any CC iteration snapshots
+        import shutil
+
+        shutil.rmtree(os.path.join(checkpoint_dir, "cc"), ignore_errors=True)
+        return (
+            out["scored_pairs"]
+            .filter(F.col("score") >= F.lit(config.cluster_threshold))
+            .select("left_id", "right_id")
+        )
+
+    stage("edges", build_edges)
     stage(
         "clusters",
         lambda: clusters_with_singletons(
-            out["records"], connected_components(out["edges"], config)
+            out["records"],
+            # CC iterations snapshot durably under the run's checkpoint dir
+            # so a crash mid-clustering resumes from the last iteration.
+            connected_components(
+                out["edges"],
+                config.with_(checkpoint_dir=os.path.join(checkpoint_dir, "cc")),
+            ),
         ),
     )
     out["block_stats"] = store.read("block_stats") if store.has("block_stats") else None

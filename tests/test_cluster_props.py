@@ -59,3 +59,39 @@ def test_cc_chain_converges(spark):
     got = connected_components(edf, MatchConfig())
     assert got.select("cluster_id").distinct().count() == 1
     assert got.count() == n
+
+
+def test_cc_durable_checkpoint_resume(spark, tmp_path):
+    """With config.checkpoint_dir set, every CC iteration persists as
+    cc_iter_NNN parquet and a fresh call resumes from the last complete
+    iteration (same fixed point, no re-derivation from raw edges)."""
+    import os
+
+    random.seed(7)
+    edges = spark.createDataFrame(
+        [(f"n{random.randrange(60):03d}", f"n{random.randrange(60):03d}") for _ in range(80)],
+        ["left_id", "right_id"],
+    )
+    plain = {
+        (r["record_id"], r["cluster_id"])
+        for r in connected_components(edges, MatchConfig()).collect()
+    }
+    d = str(tmp_path / "cc")
+    cfg = MatchConfig(checkpoint_dir=d)
+    durable = {
+        (r["record_id"], r["cluster_id"])
+        for r in connected_components(edges, cfg).collect()
+    }
+    assert durable == plain
+    iters = sorted(p for p in os.listdir(d) if p.startswith("cc_iter_"))
+    assert len(iters) >= 2  # initial canonical set + >=1 star iteration
+
+    # resume: a second run reuses the persisted iterations (no new dirs
+    # beyond at most one post-convergence iteration) and agrees exactly
+    resumed = {
+        (r["record_id"], r["cluster_id"])
+        for r in connected_components(edges, cfg).collect()
+    }
+    assert resumed == plain
+    iters2 = sorted(p for p in os.listdir(d) if p.startswith("cc_iter_"))
+    assert len(iters2) <= len(iters) + 1

@@ -101,8 +101,10 @@ scale linearly, which is why the N/4N pair is 4/16.
 
 Kernel: fixed materialized candidate-pair list ({r_lo['kernel_pairs']}
 pairs) -> attach both sides -> full 20-flag comparator vector + fuzzy
-(Jaro-Winkler pandas UDF, phonetic equalities, Levenshtein-ratio) ->
-grade decision table -> hash-agg over every column (no pruning).
+(Jaro-Winkler via the distinct-stem-pair table broadcast-joined back,
+phonetic equalities, Levenshtein-ratio) -> grade decision table ->
+hash-agg over every column (no pruning). No per-pair Python: the pair
+stream never crosses the Arrow boundary.
 
 | config | kernel wall (s) | pairs scored | pairs/sec |
 |---|---|---|---|
