@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders": Q.q_topk_orders,
         "union_dedup": Q.q_union_dedup,
         "anti_incremental": Q.q_anti_incremental,
+        "federated_union": Q.q_federated_union,
         "registry_lookup": Q.q_registry_lookup,
         # --- streaming / approximate / multimodal ---
         "streaming_window_agg": Q.q_streaming_window_agg,
@@ -364,6 +365,10 @@ def oracle_sql() -> dict[str, str]:
             count(*) AS n,
             CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
           FROM events GROUP BY 1, 2""",
+        "federated_union": """SELECT source, count(*) AS n_docs, min(doc_id) AS first_doc
+          FROM documents
+          WHERE source IN ('src0', 'src1', 'src2', 'src3')
+          GROUP BY source""",
         "registry_lookup": """SELECT COALESCE(r.lang_family, 'unknown') AS lang_family, count(*) AS n_docs
           FROM documents d
           LEFT JOIN (VALUES ('en','germanic'),('de','germanic'),('es','romance'),

@@ -174,18 +174,46 @@ def match_messages_expr() -> Column:
 PHONETIC_COLS = ["cologne_dir1", "soundex_stem", "metaphone_stem"]
 
 
-def enrich_phonetic(records: DataFrame) -> DataFrame:
-    """Per-RECORD phonetic encodings (linear work, computed once — never
-    per pair): COLOGNE on the given-name analog, SOUNDEX/METAPHONE on the
-    family-name analog (mdm-rules.json:25-42)."""
+def enrich_phonetic(records: DataFrame, distinct_broadcast: bool = True) -> DataFrame:
+    """Phonetic encodings per record: COLOGNE on the given-name analog,
+    SOUNDEX/METAPHONE on the family-name analog (mdm-rules.json:25-42).
+
+    Soundex is Spark's builtin (pure JVM). The python encoders (cologne,
+    metaphone) run once per DISTINCT normalized value and broadcast-join
+    back — the record stream never crosses the Arrow boundary, the same
+    shape as ``jw_stem_table``. Name-analog vocabularies are Zipfian and
+    tiny relative to the corpus; a deployment whose vocabulary outgrows
+    the broadcast budget passes ``distinct_broadcast=False`` to fall back
+    to per-record batched pandas UDFs (still linear, never per pair).
+    """
     from identity_matching_spark.functions.normalize import hapi_norm
     from identity_matching_spark.functions.phonetic import cologne_udf, metaphone_udf
 
-    return records.select(
+    if not distinct_broadcast:
+        return records.select(
+            "*",
+            cologne_udf(hapi_norm(F.col("dir1"))).alias("cologne_dir1"),
+            F.soundex(hapi_norm(F.col("stem"))).alias("soundex_stem"),
+            metaphone_udf(hapi_norm(F.col("stem"))).alias("metaphone_stem"),
+        )
+    base = records.select(
         "*",
-        cologne_udf(hapi_norm(F.col("dir1"))).alias("cologne_dir1"),
-        F.soundex(hapi_norm(F.col("stem"))).alias("soundex_stem"),
-        metaphone_udf(hapi_norm(F.col("stem"))).alias("metaphone_stem"),
+        hapi_norm(F.col("dir1")).alias("_nd1"),
+        hapi_norm(F.col("stem")).alias("_nst"),
+    )
+    cologne_tab = (
+        base.select(F.col("_nd1")).where(F.col("_nd1").isNotNull()).distinct()
+        .select("_nd1", cologne_udf(F.col("_nd1")).alias("cologne_dir1"))
+    )
+    metaphone_tab = (
+        base.select(F.col("_nst")).where(F.col("_nst").isNotNull()).distinct()
+        .select("_nst", metaphone_udf(F.col("_nst")).alias("metaphone_stem"))
+    )
+    return (
+        base.join(F.broadcast(cologne_tab), "_nd1", "left")
+        .join(F.broadcast(metaphone_tab), "_nst", "left")
+        .withColumn("soundex_stem", F.soundex(F.col("_nst")))
+        .drop("_nd1", "_nst")
     )
 
 

@@ -497,6 +497,21 @@ def q_anti_incremental(spark, sf_dir):
     )
 
 
+def q_federated_union(spark, sf_dir):
+    """S3/O1: federated source fan-out — primary corpus ∪ per-source
+    remote corpora, capped at the remote limit
+    (IdentityMatching.java:1059-1096; application.yaml remote cap 3)."""
+    from identity_matching_spark.sources.tables import union_sources
+
+    d = load_table(spark, sf_dir, "documents")
+    primary = d.filter(F.col("source") == "src0")
+    remotes = [d.filter(F.col("source") == f"src{i}") for i in range(1, 6)]
+    u = union_sources(primary, remotes, remote_limit=3)
+    return u.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.min("doc_id").alias("first_doc")
+    )
+
+
 def q_registry_lookup(spark, sf_dir):
     """S4/J2: small static registry broadcast-joined (identifier-registry
     analog: uri -> type code; here lang -> family name)."""
