@@ -49,6 +49,20 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--cluster-threshold", type=float, default=0.80)
     ap.add_argument("--max-block-size", type=int, default=1000)
     ap.add_argument("--no-fuzzy", action="store_true")
+    # P1 param projection, reference-faithful: $match parses
+    # onlyCertainMatches/count (IdentityMatching.java:98-108,163-173) but
+    # never applies them (no use after :248 — SURVEY.md §2.11). Default
+    # mirrors that quirk: parsed, reported as ignored. --enforce-params is
+    # the deliberate fix branch: certain-only filter + top-count cap,
+    # applied to the RESPONSE set (scored_pairs) only — clustering still
+    # sees every edge, as the reference's MDM state would.
+    ap.add_argument("--count", type=int, default=None,
+                    help="$match 'count' param (ignored unless --enforce-params)")
+    ap.add_argument("--only-certain", action="store_true",
+                    help="$match 'onlyCertainMatches' (ignored unless --enforce-params)")
+    ap.add_argument("--enforce-params", action="store_true",
+                    help="actually apply --count/--only-certain instead of "
+                         "mirroring the reference's parse-but-ignore quirk")
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args(argv)
 
@@ -80,6 +94,21 @@ def main(argv: list[str] | None = None) -> int:
         scored, clusters = res.scored_pairs, res.clusters
         res.block_stats.write.mode("overwrite").parquet(f"{args.output}/block_stats")
 
+    params_ignored = {}
+    if args.enforce_params:
+        if args.only_certain:
+            scored = scored.filter(F.col("score") >= F.lit(0.99))
+        if args.count is not None:
+            scored = scored.orderBy(
+                F.desc("score"), F.desc("weight"), F.asc("left_id"), F.asc("right_id")
+            ).limit(args.count)
+    else:
+        # reference parity: parameters parsed but never enforced
+        if args.only_certain:
+            params_ignored["onlyCertainMatches"] = True
+        if args.count is not None:
+            params_ignored["count"] = args.count
+
     scored.write.mode("overwrite").parquet(f"{args.output}/scored_pairs")
     clusters.write.mode("overwrite").parquet(f"{args.output}/clusters")
 
@@ -106,14 +135,17 @@ def main(argv: list[str] | None = None) -> int:
         )
         outcome.write.mode("overwrite").parquet(f"{args.output}/outcome")
     wall = time.time() - t0
-    print(json.dumps({
+    out_json = {
         "pairs_scored": n_pairs,
         "n_match_edges": n_edges,
         "n_clusters": n_clusters,
         "no_match_outcome": no_match,
         "wall_sec": round(wall, 2),
         "pairs_per_sec": round(n_pairs / wall, 1) if wall else None,
-    }))
+    }
+    if params_ignored:
+        out_json["params_ignored"] = params_ignored
+    print(json.dumps(out_json))
     return 0
 
 

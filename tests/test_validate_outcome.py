@@ -73,3 +73,37 @@ def test_no_match_outcome_branch(spark, tmp_path):
     row = outcome[0].asDict()
     assert row["severity"] == "information" and row["diagnostics"] == "No matches found."
     assert len(row["outcome_id"]) == 36  # uuid fullUrl analog (F8)
+
+
+def test_match_params_quirk_and_enforcement(spark, tmp_path):
+    """P1: onlyCertainMatches/count are parsed but NOT applied by default
+    (reference parity, IdentityMatching.java — no use after :248);
+    --enforce-params deliberately applies them."""
+    import json
+    import subprocess
+    import sys
+
+    from identity_matching_spark.corpus import generate_files
+
+    src = str(tmp_path / "src")
+    generate_files(spark, 60).drop("entity_id").write.parquet(src)
+
+    def run(*extra):
+        out = str(tmp_path / ("out" + str(len(extra))))
+        r = subprocess.run(
+            [sys.executable, "-m", "identity_matching_spark.cli", "--input", src,
+             "--output", out, "--no-fuzzy", "--cpus", "4", *extra],
+            capture_output=True, text=True, timeout=300,
+        )
+        line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+        return json.loads(line), out
+
+    quirk, _ = run("--count", "5", "--only-certain")
+    assert quirk["params_ignored"] == {"onlyCertainMatches": True, "count": 5}
+    assert quirk["pairs_scored"] > 5  # nothing was filtered or capped
+
+    enforced, out = run("--count", "5", "--only-certain", "--enforce-params")
+    assert "params_ignored" not in enforced
+    assert enforced["pairs_scored"] == 5
+    rows = spark.read.parquet(f"{out}/scored_pairs").collect()
+    assert all(r["score"] >= 0.99 for r in rows)
