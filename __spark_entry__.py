@@ -369,6 +369,8 @@ def oracle_sql() -> dict[str, str]:
           FROM documents
           WHERE source IN ('src0', 'src1', 'src2', 'src3')
           GROUP BY source""",
+        "ann_lsh": OS.ann_lsh_sql(n_bits=4, n_tables=8),
+        "ann_ivf": OS.ann_ivf_sql(),
         "registry_lookup": """SELECT COALESCE(r.lang_family, 'unknown') AS lang_family, count(*) AS n_docs
           FROM documents d
           LEFT JOIN (VALUES ('en','germanic'),('de','germanic'),('es','romance'),

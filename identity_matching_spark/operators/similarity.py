@@ -128,10 +128,14 @@ def cosine_topk_ivf(
 ) -> DataFrame:
     """IVF: centroids = deterministic corpus sample (hash-ordered first
     n_cells unit vectors, broadcast); vectors assigned to nearest cell;
-    probes scan their n_probe nearest cells only."""
+    probes scan their n_probe nearest cells only. The sample ordering
+    uses the PORTABLE sha-derived hash (one-time, n rows) so the DuckDB
+    oracle selects the identical centroid set."""
+    from identity_matching_spark.functions.hashing import hash64_sha
+
     corpus = with_unit_vectors(emb)
     cents = (
-        corpus.withColumn("h", F.xxhash64(F.col("vec_id").cast("string")))
+        corpus.withColumn("h", hash64_sha(F.col("vec_id").cast("string")))
         .orderBy("h")
         .limit(n_cells)
         .select(F.col("vec_id").alias("cell_id"), F.col("unit").alias("centroid"))

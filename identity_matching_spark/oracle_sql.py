@@ -345,6 +345,93 @@ PRELUDE_SCORED = "WITH " + ",".join(
 )
 
 
+# ---------------------------------------------------------------------------
+# ANN oracle twins. The LSH hyperplanes are deterministic sha-derived ±1
+# literals and the IVF centroid sample is ordered by the portable sha
+# hash, so both approximate indexes are exactly reproducible in SQL. All
+# dot products / norms are written as explicit left-associated chains —
+# the same evaluation order as Spark's F.aggregate fold — so the doubles
+# (and hence every sign bit and rounded cosine) agree bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def _dot_chain(a_fmt: str, b, dim: int) -> str:
+    """0.0 + a[1]*b[1] + ... left-assoc; ``b`` is a column format or a
+    list of float literals."""
+    terms = []
+    for i in range(1, dim + 1):
+        bi = f"{b[i - 1]:.1f}" if isinstance(b, list) else b.format(i=i)
+        terms.append(f"{a_fmt.format(i=i)} * {bi}")
+    return "(0.0 + " + " + ".join(terms) + ")"
+
+
+def _unit_cte(dim: int) -> str:
+    sq = " + ".join(f"v[{i}]*v[{i}]" for i in range(1, dim + 1))
+    return f"""
+u0 AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+u1 AS (SELECT vec_id, v, sqrt(0.0 + {sq}) AS n FROM u0),
+unitv AS (SELECT vec_id, CASE WHEN n > 0 THEN [x / n FOR x IN v] ELSE v END AS unit FROM u1)
+"""
+
+
+def ann_lsh_sql(k: int = 5, dim: int = 64, n_bits: int = 8, n_tables: int = 4,
+                probe_below: int = 20) -> str:
+    from identity_matching_spark.operators.similarity import _hyperplane
+
+    def sig(table: int, col: str) -> str:
+        bits = []
+        for j in range(n_bits):
+            hp = _hyperplane(dim, table, j)
+            proj = _dot_chain(col + "[{i}]", hp, dim)
+            bits.append(f"CASE WHEN {proj} >= 0 THEN '1' ELSE '0' END")
+        return f"'t{table}:' || " + " || ".join(bits)
+
+    sigs = ", ".join(sig(t, "unit") for t in range(n_tables))
+    cos = _dot_chain("pu.unit[{i}]", "cu.unit[{i}]", dim)
+    return f"""WITH {_unit_cte(dim)},
+ck AS (SELECT vec_id, unnest([{sigs}]) AS bucket FROM unitv),
+pk AS (SELECT vec_id AS probe_id, bucket FROM ck WHERE vec_id < {probe_below}),
+cand AS (
+  SELECT DISTINCT pk.probe_id, ck.vec_id
+  FROM pk JOIN ck USING (bucket)
+  WHERE pk.probe_id != ck.vec_id),
+sims AS (
+  SELECT c.probe_id, c.vec_id, round({cos}, 6) AS cosine
+  FROM cand c
+  JOIN unitv pu ON c.probe_id = pu.vec_id
+  JOIN unitv cu ON c.vec_id = cu.vec_id),
+rk AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id ASC) AS rank FROM sims)
+SELECT probe_id, vec_id, cosine, rank FROM rk WHERE rank <= {k}"""
+
+
+def ann_ivf_sql(k: int = 5, dim: int = 64, n_cells: int = 16, n_probe: int = 4,
+                probe_below: int = 20) -> str:
+    cd = _dot_chain("a.unit[{i}]", "c.centroid[{i}]", dim)
+    cos = _dot_chain("pu.unit[{i}]", "cu.unit[{i}]", dim)
+    return f"""WITH {_unit_cte(dim)},
+cents AS (
+  SELECT vec_id AS cell_id, unit AS centroid FROM unitv
+  ORDER BY CAST(concat('0x', substr(sha256(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)
+  LIMIT {n_cells}),
+ca0 AS (
+  SELECT a.vec_id, c.cell_id, {cd} AS cd,
+         row_number() OVER (PARTITION BY a.vec_id ORDER BY {cd} DESC, c.cell_id ASC) AS r
+  FROM unitv a CROSS JOIN cents c),
+ca AS (SELECT vec_id, cell_id FROM ca0 WHERE r = 1),
+pa AS (SELECT vec_id AS probe_id, cell_id FROM ca0 WHERE r <= {n_probe} AND vec_id < {probe_below}),
+cand AS (
+  SELECT DISTINCT pa.probe_id, ca.vec_id
+  FROM pa JOIN ca USING (cell_id)
+  WHERE pa.probe_id != ca.vec_id),
+sims AS (
+  SELECT c.probe_id, c.vec_id, round({cos}, 6) AS cosine
+  FROM cand c
+  JOIN unitv pu ON c.probe_id = pu.vec_id
+  JOIN unitv cu ON c.vec_id = cu.vec_id),
+rk AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id ASC) AS rank FROM sims)
+SELECT probe_id, vec_id, cosine, rank FROM rk WHERE rank <= {k}"""
+
+
 def match_messages_sql() -> str:
     """A3 twin: per-pair fired-flag messages, exploded to scalar rows.
     Generated from the same flag->message spec as the Spark side

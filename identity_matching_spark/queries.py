@@ -560,13 +560,15 @@ def q_dedup_simhash_fast(spark, sf_dir):
 
 
 def q_ann_lsh(spark, sf_dir):
-    """Approximate ANN via random-hyperplane LSH buckets (rows-only;
-    recall vs brute force is pytest-asserted)."""
+    """Approximate ANN via random-hyperplane LSH buckets, value-exact vs
+    the SQL twin (deterministic hyperplanes replayed in DuckDB). 4-bit x
+    8-table banding — the recall-tested configuration (>=0.5 vs brute
+    force at this corpus's neighbor distances, test_similarity_dedup)."""
     from identity_matching_spark.operators.similarity import cosine_topk_lsh
 
     e = load_table(spark, sf_dir, "embeddings")
     probes = e.filter(F.col("vec_id") < 20)
-    return cosine_topk_lsh(e, probes, k=5)
+    return cosine_topk_lsh(e, probes, k=5, n_bits=4, n_tables=8)
 
 
 def q_ann_ivf(spark, sf_dir):

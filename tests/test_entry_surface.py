@@ -11,7 +11,7 @@ import __spark_entry__ as entry
 # approximate / multimodal); the driver records rows-only checks for these.
 ROWS_ONLY = {
     "pipeline_full", "dedup_minhash_fast", "dedup_simhash_fast",
-    "ann_lsh", "ann_ivf", "media_features",
+    "media_features",
 }
 
 
