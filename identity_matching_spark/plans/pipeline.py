@@ -57,12 +57,17 @@ def run_pipeline(files: DataFrame, config: MatchConfig | None = None) -> Pipelin
         records = enrich_phonetic(records)
     records = records.persist(StorageLevel.MEMORY_AND_DISK)
     blocking: BlockingResult = candidate_pairs(records, config)
+    pairs = blocking.pairs
     if config.enable_fuzzy:
         from identity_matching_spark.operators.compare import compare_pairs_fuzzy
 
-        flagged = compare_pairs_fuzzy(blocking.pairs, records, config)
+        # The fuzzy path consumes the pair list twice (slim jw_stem_table
+        # pass + main attach) — persist the 2-column pair list so the
+        # blocking self-join runs once.
+        pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+        flagged = compare_pairs_fuzzy(pairs, records, config)
     else:
-        flagged = compare_pairs(blocking.pairs, records)
+        flagged = compare_pairs(pairs, records)
     scored = grade_pairs(flagged, with_messages=True).persist(StorageLevel.MEMORY_AND_DISK)
     edges = scored.filter(F.col("score") >= F.lit(config.cluster_threshold)).select(
         "left_id", "right_id"
@@ -71,7 +76,7 @@ def run_pipeline(files: DataFrame, config: MatchConfig | None = None) -> Pipelin
     clusters = clusters_with_singletons(records, assignments)
     return PipelineResult(
         records=records,
-        pairs=blocking.pairs,
+        pairs=pairs,
         block_stats=blocking.block_stats,
         scored_pairs=scored,
         edges=edges,
