@@ -66,10 +66,18 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
-    hw_lo, hw_hi = hw_calibration(N_LO), hw_calibration(N_HI)
-    hw_eff = hw_hi / (4 * hw_lo)
+    # The host is tenant-oversubscribed and its capacity DRIFTS between
+    # the two legs (minutes apart). Calibrate at BOTH widths immediately
+    # before EACH leg so the ceiling reflects what the hardware gave that
+    # leg, and report a drift indicator alongside the raw efficiency.
+    cal_before_lo = {str(N_LO): hw_calibration(N_LO), str(N_HI): hw_calibration(N_HI)}
     r_lo = run_bench(N_LO, sf_dir)
+    cal_before_hi = {str(N_LO): hw_calibration(N_LO), str(N_HI): hw_calibration(N_HI)}
     r_hi = run_bench(N_HI, sf_dir)
+    hw_lo = cal_before_lo[str(N_LO)]          # capacity the lo leg saw
+    hw_hi = cal_before_hi[str(N_HI)]          # capacity the hi leg saw
+    hw_eff = hw_hi / (4 * hw_lo)
+    drift = cal_before_hi[str(N_HI)] / cal_before_lo[str(N_HI)]
     eff_kernel = r_hi["kernel_pairs_per_sec"] / (4 * r_lo["kernel_pairs_per_sec"])
     eff_e2e = r_hi["pairs_per_sec"] / (4 * r_lo["pairs_per_sec"])
     result = {
@@ -77,8 +85,12 @@ def main():
         "lo": r_lo, "hi": r_hi,
         "scaling_efficiency": round(eff_kernel, 3),
         "scaling_efficiency_e2e": round(eff_e2e, 3),
-        "hw_calibration_units_per_sec": {str(N_LO): round(hw_lo, 1), str(N_HI): round(hw_hi, 1)},
+        "hw_calibration_units_per_sec": {
+            "before_lo_leg": {k: round(v, 1) for k, v in cal_before_lo.items()},
+            "before_hi_leg": {k: round(v, 1) for k, v in cal_before_hi.items()},
+        },
         "hw_ceiling_efficiency": round(hw_eff, 3),
+        "host_drift_between_legs": round(drift, 3),
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "bench_scaling.json"), "w") as fh:
@@ -91,11 +103,16 @@ parallelism levels (N={N_LO} and 4N={N_HI} cores), each run pinned with
 `taskset` so JVM task threads and Python UDF workers together get
 exactly that many cores. Single host, separate JVM per run.
 
-**Hardware note:** a pure-CPU calibration burn measures this VM's own
-scaling ceiling — {round(hw_lo,1)} units/s at {N_LO} procs vs
-{round(hw_hi,1)} at {N_HI} ({result['hw_ceiling_efficiency']}
-efficiency); above ~16 vCPUs the host oversubscribes and no workload can
-scale linearly, which is why the N/4N pair is 4/16.
+**Hardware note:** a pure-CPU calibration burn runs at both widths
+immediately before EACH leg — the host is tenant-oversubscribed and its
+capacity drifts between legs. Ceiling uses what each leg actually saw:
+{round(hw_lo,1)} units/s at {N_LO} procs (before the lo leg) vs
+{round(hw_hi,1)} at {N_HI} (before the hi leg) =
+{result['hw_ceiling_efficiency']} ceiling efficiency; host drift between
+legs (same-width {N_HI}-proc burn, hi/lo) =
+{result['host_drift_between_legs']}. Above ~16 vCPUs the host
+oversubscribes and no workload can scale linearly, which is why the
+N/4N pair is 4/16.
 
 ## Scoring throughput (the BASELINE.json metric)
 
