@@ -101,7 +101,11 @@ def connected_components(
 
     def _materialize(df: DataFrame, it: int) -> DataFrame:
         if ckpt is None:
-            return df.localCheckpoint()
+            # LAZY local checkpoint: the _sig aggregation that follows is
+            # the materializing action, so each iteration costs ONE
+            # driver-synchronous job (checkpoint write + convergence
+            # signature together) instead of two.
+            return df.localCheckpoint(eager=False)
         path = os.path.join(ckpt, f"cc_iter_{it:03d}")
         if not os.path.exists(os.path.join(path, "_SUCCESS")):
             df.write.mode("overwrite").parquet(path)
