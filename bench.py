@@ -77,6 +77,7 @@ def run_headline(spark, n_entities: int):
     pairs_scored = res.scored_pairs.count()
     n_clusters = res.clusters.select("cluster_id").distinct().count()
     wall = time.time() - t0
+    res.cleanup()  # outside the timed window; drops run-pinned cache blocks
     return wall, pairs_scored, n_clusters, n_rows
 
 
@@ -131,7 +132,9 @@ def run_scoring_kernel(spark, n_entities: int):
         .drop("rep")
     )
     t0 = time.time()
-    scored = grade_pairs(compare_pairs_fuzzy(pairs, records, MatchConfig()))
+    flagged = compare_pairs_fuzzy(pairs, records, MatchConfig())
+    scored = grade_pairs(flagged)
+    scored.jw_stem_cache = getattr(flagged, "jw_stem_cache", None)
     # hash EVERY output column into the aggregate so Catalyst cannot prune
     # any comparator (incl. the pandas-UDF fuzzy columns) out of the run
     n = scored.agg(
@@ -139,6 +142,9 @@ def run_scoring_kernel(spark, n_entities: int):
         F.sum(F.xxhash64(F.struct(*scored.columns)).cast("decimal(38,0)")).alias("h"),
     ).collect()[0]["n"]
     wall = time.time() - t0
+    jwtab = getattr(scored, "jw_stem_cache", None)
+    if jwtab is not None:
+        jwtab.unpersist()
     return wall, n
 
 

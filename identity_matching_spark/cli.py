@@ -119,7 +119,7 @@ def main(argv: list[str] | None = None) -> int:
     # S7/F8: when the run yields zero match edges, emit the no-match
     # OperationOutcome analog — one row with a fresh uuid identity
     # (IdentityMatching.java:486-495: OperationOutcome entry with uuid
-    # fullUrl and an informational "no matches" issue).
+    # fullUrl, severity WARNING and IssueType NOTFOUND).
     n_edges = (
         spark.read.parquet(f"{args.output}/scored_pairs")
         .filter(F.col("score") >= F.lit(args.cluster_threshold))
@@ -129,8 +129,8 @@ def main(argv: list[str] | None = None) -> int:
     if no_match:
         outcome = spark.range(1).select(
             F.expr("uuid()").alias("outcome_id"),
-            F.lit("information").alias("severity"),
-            F.lit("informational").alias("code"),
+            F.lit("warning").alias("severity"),
+            F.lit("not-found").alias("code"),
             F.lit("No matches found.").alias("diagnostics"),
         )
         outcome.write.mode("overwrite").parquet(f"{args.output}/outcome")

@@ -190,13 +190,17 @@ def soundex_encode(word: str | None) -> str | None:
         return None
     if not word:
         return word
-    first = word[0].lower()
+    # Lowercase ASCII only: str.lower() on e.g. 'İ' returns the TWO-char
+    # 'i̇', which passes an 'a'<='z' range test and would KeyError below.
+    # Spark's byte-wise UTF8String.soundex sees non-ASCII bytes as
+    # non-letters (reset / return-input), so mirror that exactly.
+    first = word[0].lower() if "A" <= word[0] <= "Z" else word[0]
     if not ("a" <= first <= "z"):
         return word  # F.soundex returns input unchanged when not encodable
     out = [word[0].upper()]
     last = _SOUNDEX_MAP[first]
     for ch in word[1:]:
-        c = ch.lower()
+        c = ch.lower() if "A" <= ch <= "Z" else ch
         if not ("a" <= c <= "z"):
             last = "0"
             continue

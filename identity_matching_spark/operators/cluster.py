@@ -112,6 +112,7 @@ def connected_components(
         return spark.read.parquet(path)
 
     done: list[int] = []
+    manifest = os.path.join(ckpt, "cc_manifest.json") if ckpt is not None else None
     if ckpt is not None:
         os.makedirs(ckpt, exist_ok=True)
         done = sorted(
@@ -121,12 +122,38 @@ def connected_components(
             and os.path.exists(os.path.join(ckpt, d, "_SUCCESS"))
         )
     if done:
+        # Resume safety (ADVICE r2): snapshots under this dir may belong to
+        # a DIFFERENT edge set (same checkpoint_dir, new input). Validate
+        # the manifest's edge-set fingerprint — the (count, order-free
+        # hash-sum) signature of the canonical input edges — and discard
+        # stale iterations instead of resuming the wrong graph.
+        import json as _json
+        import shutil as _shutil
+
+        cur = _sig(_canonical_edges(edges))
+        recorded = None
+        if os.path.exists(manifest):
+            with open(manifest) as fh:
+                m = _json.load(fh)
+            recorded = (m.get("n"), m.get("h"))
+        if recorded != (cur[0], str(cur[1])):
+            for d in os.listdir(ckpt):
+                if d.startswith("cc_iter_"):
+                    _shutil.rmtree(os.path.join(ckpt, d), ignore_errors=True)
+            done = []
+    if done:
         e = spark.read.parquet(os.path.join(ckpt, f"cc_iter_{done[-1]:03d}"))
         start_it = done[-1] + 1
     else:
         e = _materialize(_canonical_edges(edges), 0)
         start_it = 1
     sig = _sig(e)
+    if ckpt is not None and not done:
+        # fresh run: record the iteration-0 (canonical input) fingerprint
+        import json as _json
+
+        with open(manifest, "w") as fh:
+            _json.dump({"n": sig[0], "h": str(sig[1])}, fh)
     for it in range(start_it, start_it + config.cc_max_iterations):
         e2 = _materialize(_small_star(_large_star(e)), it)
         sig2 = _sig(e2)

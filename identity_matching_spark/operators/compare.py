@@ -294,7 +294,7 @@ def compare_pairs_fuzzy(pairs: DataFrame, records: DataFrame, config) -> DataFra
         _eq(F.col("l_stem"), F.col("r_stem")), F.lit(1.0)
     ).otherwise(F.col("jw_stem_val"))
     lev = levenshtein_ratio(F.col("l_stem"), F.col("r_stem"))
-    return attached.select(
+    out = attached.select(
         "left_id",
         "right_id",
         *[F.coalesce(expr, F.lit(False)).alias(name) for name, expr in flags.items()],
@@ -316,3 +316,9 @@ def compare_pairs_fuzzy(pairs: DataFrame, records: DataFrame, config) -> DataFra
         F.round(F.coalesce(jw, F.lit(0.0)), 4).alias("jw_family_sim"),
         F.round(F.coalesce(lev, F.lit(0.0)), 4).alias("lev_family_sim"),
     )
+    # Hand the persisted JW table back on the result so long-lived sessions
+    # (bench sweeps, repeated calls) can unpersist it after materializing
+    # the scored output — otherwise the cached blocks accumulate until
+    # clearCache. Callers: PipelineResult.cleanup / bench kernel.
+    out.jw_stem_cache = jwtab
+    return out

@@ -127,10 +127,20 @@ def cosine_topk_ivf(
     n_probe: int = 4,
 ) -> DataFrame:
     """IVF: centroids = deterministic corpus sample (hash-ordered first
-    n_cells unit vectors, broadcast); vectors assigned to nearest cell;
-    probes scan their n_probe nearest cells only. The sample ordering
-    uses the PORTABLE sha-derived hash (one-time, n rows) so the DuckDB
-    oracle selects the identical centroid set."""
+    n_cells unit vectors), vectors assigned to nearest cell, probes scan
+    their n_probe nearest cells only. The sample ordering uses the
+    PORTABLE sha-derived hash (one-time, n rows) so the DuckDB oracle
+    selects the identical centroid set.
+
+    Corpus-side assignment is a pure Column argmax over the n_cells
+    centroid literals — NO crossJoin and NO window shuffle (VERDICT r2
+    #2: the old plan shuffled an n_cells-replicated corpus just to argmax
+    16 dot products). Centroids are collected to the driver first: n_cells
+    rows, an O(1) driver action like the CC convergence signature. Only
+    the tiny probe side keeps the window (it needs top-n_probe, not
+    argmax). Dot products fold left-associated from 0.0 exactly like the
+    crossJoin formulation, so the cosine doubles (and the oracle match)
+    are bit-identical."""
     from identity_matching_spark.functions.hashing import hash64_sha
 
     corpus = with_unit_vectors(emb)
@@ -140,8 +150,28 @@ def cosine_topk_ivf(
         .limit(n_cells)
         .select(F.col("vec_id").alias("cell_id"), F.col("unit").alias("centroid"))
     )
+    # O(1) driver action: n_cells (centroid, id) rows become plan literals.
+    cent_rows = cents.collect()
 
-    def assign(df: DataFrame, unit_col: str, id_cols: list[str], top: int) -> DataFrame:
+    # argmax(cd) with ties to the SMALLEST cell_id == max of (cd, -cell_id)
+    # under struct ordering — identical to the window's (cd DESC, cell_id
+    # ASC) row_number()=1 and to the oracle twin's ORDER BY.
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    _dot(
+                        F.col("unit"), F.array(*[F.lit(x) for x in row["centroid"]])
+                    ).alias("cd"),
+                    F.lit(-row["cell_id"]).cast("long").alias("nid"),
+                )
+                for row in cent_rows
+            ]
+        )
+    )
+    ca = corpus.select("vec_id", "unit", (-best["nid"]).alias("cell_id"))
+
+    def assign_topn(df: DataFrame, unit_col: str, id_cols: list[str], top: int) -> DataFrame:
         joined = df.crossJoin(F.broadcast(cents)).select(
             *id_cols, unit_col, "cell_id",
             _dot(F.col(unit_col), F.col("centroid")).alias("cd"),
@@ -149,8 +179,7 @@ def cosine_topk_ivf(
         w = Window.partitionBy(*id_cols).orderBy(F.desc("cd"), F.asc("cell_id"))
         return joined.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= top)
 
-    ca = assign(corpus, "unit", ["vec_id"], 1).select("vec_id", "unit", "cell_id")
-    pa = assign(
+    pa = assign_topn(
         probes.transform(lambda d: with_unit_vectors(d))
         .withColumnRenamed("vec_id", "probe_id")
         .withColumnRenamed("unit", "probe_unit"),

@@ -86,9 +86,18 @@ records AS (
 )
 """
 
-# SQL-expressible blocking families (soundex/minhash-fast have no DuckDB
-# twin; the portable-minhash query carries its own SQL).
-KEYS_CTE = r"""
+# SQL-expressible blocking families (fast-minhash has no DuckDB twin; the
+# portable-minhash query carries its own SQL). name_prefix folds accents
+# with the SAME translate table as the Spark side's hapi_norm
+# (functions/normalize.py:32-34) — lower/trim alone would silently diverge
+# on a non-ASCII corpus.
+
+
+def _keys_cte() -> str:
+    from identity_matching_spark.functions.normalize import _ACCENTS, _PLAIN
+
+    norm_stem = f"lower(trim(translate(stem, '{_ACCENTS}', '{_PLAIN}')))"
+    return f"""
 keys AS (
   SELECT record_id, 'content_sha' AS family,
          'sha:' || CAST(content_h64 AS VARCHAR) AS blocking_key FROM records
@@ -98,10 +107,13 @@ keys AS (
   SELECT record_id, 'norm_sha', 'nsha:' || CAST(norm_h64 AS VARCHAR) FROM records
   UNION ALL
   SELECT record_id, 'name_prefix',
-         'np:' || lang_norm || '|' || substr(lower(trim(stem)), 1, 4)
+         'np:' || lang_norm || '|' || substr({norm_stem}, 1, 4)
          || '|' || CAST(size_bucket AS VARCHAR) FROM records
 )
 """
+
+
+KEYS_CTE = _keys_cte()
 
 PAIRS_CTE = r"""
 pairs AS (

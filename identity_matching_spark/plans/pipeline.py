@@ -42,6 +42,19 @@ class PipelineResult:
     edges: DataFrame         # pairs with score >= cluster_threshold
     clusters: DataFrame      # (record_id, cluster_id) incl. singletons
 
+    def cleanup(self) -> None:
+        """Unpersist every cache this run pinned (records/pairs/scored and
+        the fuzzy path's distinct-stem JW table) — call after the outputs
+        have been materialized; long-lived sessions otherwise accumulate
+        cached blocks across runs."""
+        jwtab = getattr(self.scored_pairs, "jw_stem_cache", None)
+        for df in (jwtab, self.scored_pairs, self.pairs, self.records):
+            if df is not None:
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass
+
 
 def run_pipeline(files: DataFrame, config: MatchConfig | None = None) -> PipelineResult:
     from pyspark import StorageLevel
@@ -69,6 +82,8 @@ def run_pipeline(files: DataFrame, config: MatchConfig | None = None) -> Pipelin
     else:
         flagged = compare_pairs(pairs, records)
     scored = grade_pairs(flagged, with_messages=True).persist(StorageLevel.MEMORY_AND_DISK)
+    # propagate the fuzzy path's persisted JW table for PipelineResult.cleanup
+    scored.jw_stem_cache = getattr(flagged, "jw_stem_cache", None)
     edges = scored.filter(F.col("score") >= F.lit(config.cluster_threshold)).select(
         "left_id", "right_id"
     )
@@ -121,6 +136,9 @@ def run_checkpointed(
         t0 = time.time()
         df = build()
         store.write(name, df)
+        jwtab = getattr(df, "jw_stem_cache", None)
+        if jwtab is not None:  # scored stage materialized — JW cache done
+            jwtab.unpersist()
         parts = store.partition_metrics(name)
         store.log_lineage(
             name,

@@ -95,3 +95,36 @@ def test_cc_durable_checkpoint_resume(spark, tmp_path):
     assert resumed == plain
     iters2 = sorted(p for p in os.listdir(d) if p.startswith("cc_iter_"))
     assert len(iters2) <= len(iters) + 1
+
+
+def test_cc_checkpoint_invalidated_on_different_edges(spark, tmp_path):
+    """ADVICE r2 (medium): reusing a checkpoint_dir with a DIFFERENT edge
+    set must NOT resume the previous run's iterations — the manifest
+    fingerprint discards stale cc_iter_* snapshots and the second graph
+    clusters correctly (previously it silently emitted clusters for the
+    wrong graph, including record_ids absent from the new data)."""
+    d = str(tmp_path / "cc")
+    cfg = MatchConfig(checkpoint_dir=d)
+    graph_a = spark.createDataFrame(
+        [("a1", "a2"), ("a2", "a3"), ("a4", "a5")], ["left_id", "right_id"]
+    )
+    got_a = {
+        (r["record_id"], r["cluster_id"])
+        for r in connected_components(graph_a, cfg).collect()
+    }
+    assert ("a3", "a1") in got_a
+    # same dir, entirely different graph
+    graph_b = spark.createDataFrame(
+        [("b1", "b2"), ("b3", "b4"), ("b4", "b5")], ["left_id", "right_id"]
+    )
+    got_b = connected_components(graph_b, cfg).collect()
+    ids = {r["record_id"] for r in got_b}
+    assert ids == {"b1", "b2", "b3", "b4", "b5"}  # no a* leakage
+    comp = {r["record_id"]: r["cluster_id"] for r in got_b}
+    assert comp["b2"] == "b1" and comp["b5"] == "b3" and comp["b4"] == "b3"
+    # and an unchanged re-run still resumes (manifest matches)
+    again = {
+        (r["record_id"], r["cluster_id"])
+        for r in connected_components(graph_b, cfg).collect()
+    }
+    assert again == {(r["record_id"], r["cluster_id"]) for r in got_b}

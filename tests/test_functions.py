@@ -31,6 +31,22 @@ def test_soundex_python_port_matches_spark(spark):
         assert got[w].upper() == soundex_encode(w), w
 
 
+def test_soundex_python_port_matches_spark_non_ascii(spark):
+    """ADVICE r2: 'İ'.lower() is the TWO-char 'i̇' — must not KeyError;
+    non-ASCII behaves like Spark's byte-wise soundex (reset / return
+    input). Parity asserted per word against F.soundex itself."""
+    words = ["İstanbul", "İİ", "sİmit", "Ångström", "naïve", "élan",
+             "ßeta", "aİb", "ÉCOLE"]
+    df = spark.createDataFrame([(w,) for w in words], ["w"]).select(
+        "w", F.soundex("w").alias("sdx")
+    )
+    got = {r["w"]: r["sdx"] for r in df.collect()}
+    for w in words:
+        py = soundex_encode(w)
+        assert py is not None
+        assert got[w].upper() == py.upper(), (w, got[w], py)
+
+
 def test_cologne_known_vectors():
     # canonical example from the public algorithm description
     assert cologne_encode("Müller-Lüdenscheidt") == "65752682"

@@ -82,3 +82,27 @@ def test_sql_phonetics_match_python():
         norm = w.translate(fold).lower().strip()
         assert row["soundex_stem"] == soundex_encode(norm), ("soundex", w)
         assert row["cologne_dir1"] == cologne_encode(norm), ("cologne", w)
+
+
+def test_name_prefix_key_accent_fold_parity(spark):
+    """VERDICT r2 #4: the name_prefix oracle CTE must fold accents with
+    the same translate table as Spark's hapi_norm — checked on a
+    non-ASCII vocabulary (the driver corpus is ASCII, so the driver gate
+    alone would never catch a divergence here)."""
+    from pyspark.sql import functions as F
+
+    from identity_matching_spark.functions.normalize import _ACCENTS, _PLAIN, hapi_norm
+
+    words = ["Münchner_Straße", "École", "naïve", " ÀÉÎÕÜ-file ", "plain",
+             "Ångström", "señor", "Ürün", "ﬁle"]
+    sdf = spark.createDataFrame([(w,) for w in words], ["stem"]).select(
+        "stem", F.substring(hapi_norm(F.col("stem")), 1, 4).alias("prefix")
+    )
+    got = {r["stem"]: r["prefix"] for r in sdf.collect()}
+    c2 = duckdb.connect()
+    c2.register("voc", pd.DataFrame({"stem": words}))
+    norm_stem = f"lower(trim(translate(stem, '{_ACCENTS}', '{_PLAIN}')))"
+    want = dict(
+        c2.execute(f"SELECT stem, substr({norm_stem}, 1, 4) FROM voc").fetchall()
+    )
+    assert got == want

@@ -71,7 +71,9 @@ def test_no_match_outcome_branch(spark, tmp_path):
     outcome = spark.read.parquet(f"{out}/outcome").collect()
     assert len(outcome) == 1
     row = outcome[0].asDict()
-    assert row["severity"] == "information" and row["diagnostics"] == "No matches found."
+    # IdentityMatching.java:488-489: severity WARNING, IssueType NOTFOUND
+    assert row["severity"] == "warning" and row["code"] == "not-found"
+    assert row["diagnostics"] == "No matches found."
     assert len(row["outcome_id"]) == 36  # uuid fullUrl analog (F8)
 
 
