@@ -65,6 +65,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- generic relational operators ---
         "agg_orders": Q.q_agg_orders,
         "region_revenue": Q.q_region_revenue,
+        "pricing_summary": Q.q_pricing_summary,
+        "supplier_region_revenue": Q.q_supplier_region_revenue,
+        "brand_yearly_profit": Q.q_brand_yearly_profit,
         "topk_orders": Q.q_topk_orders,
         "union_dedup": Q.q_union_dedup,
         "anti_incremental": Q.q_anti_incremental,
@@ -74,11 +77,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_window_agg": Q.q_streaming_window_agg,
         "dedup_minhash_fast": Q.q_dedup_minhash_fast,
         "dedup_simhash_fast": Q.q_dedup_simhash_fast,
+        "dedup_minhash_pairs_portable": Q.q_dedup_minhash_portable,
+        "dedup_simhash_pairs_portable": Q.q_dedup_simhash_portable,
+        "near_dup_keeplist": Q.q_near_dup_keeplist,
         "ann_lsh": Q.q_ann_lsh,
         "ann_ivf": Q.q_ann_ivf,
         "media_features": Q.q_media_features,
-        # --- full pipeline (rows-only: uses non-portable fast hashes) ---
+        # --- full pipeline ---
+        # production config (fast xxhash64 minhash; rows-only check) ...
         "pipeline_full": _q_pipeline_full,
+        # ... and the same lifecycle in portable-hash form, value-exact vs
+        # one recursive DuckDB query (keys -> pairs -> score -> CC).
+        "pipeline_full_portable": Q.q_pipeline_full_portable,
     }
     return base
 
@@ -97,37 +107,13 @@ _H64 = "CAST(concat('0x', substr(sha256({x}), 1, 15)) AS BIGINT)"
 
 
 def _minhash_sql() -> str:
-    cfg = Q.SQL_CONFIG
-    rpb = cfg.lsh_rows_per_band
-    coeffs = minhash_coeffs(cfg.minhash_perms)
-    sig_items = ",\n      ".join(
-        f"list_min([(h * {a} + {b}) % {MINHASH_P} for h in hs])" for a, b in coeffs
+    # twin chain shared with the end-to-end pipeline oracle
+    return (
+        OS.PRELUDE
+        + ","
+        + OS.minhash_keys_cte(Q.SQL_CONFIG)
+        + " SELECT record_id, blocking_key FROM mh_keys"
     )
-    band_items = ",\n      ".join(
-        "concat('mh', {b}, ':', CAST({h} AS VARCHAR))".format(
-            b=b,
-            h=_H64.format(x=f"array_to_string(sig[{b*rpb+1}:{b*rpb+rpb}], ',')"),
-        )
-        for b in range(cfg.lsh_bands)
-    )
-    return f"""{OS.PRELUDE},
-    mh AS (
-      SELECT record_id, norm_content, string_split(norm_content, ' ') AS words FROM records
-    ),
-    sh AS (
-      SELECT record_id,
-        CASE WHEN len(words) >= 3
-          THEN list_distinct([array_to_string(words[i:i+2], ' ') for i in range(1, len(words)-1)])
-          ELSE [norm_content] END AS shingles
-      FROM mh
-    ),
-    bh AS (
-      SELECT record_id, [{_H64.format(x='s')} & 2147483647 for s in shingles] AS hs FROM sh
-    ),
-    sig_t AS (
-      SELECT record_id, [{sig_items}] AS sig FROM bh
-    )
-    SELECT record_id, unnest([{band_items}]) AS blocking_key FROM sig_t"""
 
 
 def _simhash_sql() -> str:
@@ -151,6 +137,66 @@ _TOKS = (
     "list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),"
     " x -> x != '')"
 )
+
+
+def _dedup_minhash_pairs_sql(num_perm: int = 32, bands: int = 8,
+                             shingle_words: int = 3, threshold: float = 0.5) -> str:
+    """Twin of operators/dedup.near_dup_pairs_minhash(fast=False): portable
+    signatures -> band-bucket join -> exact shingle-Jaccard on collisions."""
+    rpb = max(1, num_perm // bands)
+    coeffs = minhash_coeffs(num_perm)
+    sig_items = ",\n      ".join(
+        f"list_min([(h * {a} + {b}) % {MINHASH_P} for h in hs])" for a, b in coeffs
+    )
+    band_items = ",\n      ".join(
+        "concat('mh', {b}, ':', CAST({h} AS VARCHAR))".format(
+            b=b,
+            h=_H64.format(x=f"array_to_string(sig[{b*rpb+1}:{b*rpb+rpb}], ',')"),
+        )
+        for b in range(bands)
+    )
+    k = shingle_words
+    return f"""WITH t AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm FROM documents),
+    w AS (SELECT doc_id, norm, string_split(norm, ' ') AS words FROM t),
+    s AS (
+      SELECT doc_id,
+        CASE WHEN len(words) >= {k}
+          THEN list_distinct([array_to_string(words[i:i+{k - 1}], ' ') for i in range(1, len(words)-{k - 2})])
+          ELSE [norm] END AS sh
+      FROM w),
+    bh AS (SELECT doc_id, sh, [{_H64.format(x='x')} & 2147483647 for x in sh] AS hs FROM s),
+    sig_t AS (SELECT doc_id, [{sig_items}] AS sig FROM bh),
+    ks AS (SELECT doc_id, unnest([{band_items}]) AS bucket FROM sig_t),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      FROM ks l JOIN ks r ON l.bucket = r.bucket AND l.doc_id < r.doc_id),
+    j AS (
+      SELECT c.a, c.b,
+        round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+              / len(list_distinct(list_concat(sa.sh, sb.sh))), 4) AS jaccard
+      FROM cand c JOIN s sa ON c.a = sa.doc_id JOIN s sb ON c.b = sb.doc_id)
+    SELECT a, b, jaccard FROM j WHERE jaccard >= {threshold}"""
+
+
+def _dedup_simhash_pairs_sql(max_hamming: int = 7, prefix_bits: int = 8) -> str:
+    """Twin of operators/dedup.near_dup_pairs_simhash(fast=False).
+    DuckDB's BIGINT >> is arithmetic, but the & mask discards the
+    sign-extended high bits, so (sh >> k) & 255 equals Spark's
+    shiftrightunsigned+mask for every band."""
+    bands = 64 // prefix_bits
+    mask = (1 << prefix_bits) - 1
+    bucket_items = ",\n      ".join(
+        f"'b{b}:' || CAST((simhash >> {b * prefix_bits}) & {mask} AS VARCHAR)"
+        for b in range(bands)
+    )
+    return f"""WITH fp AS ({_simhash_sql()}),
+    ks AS (SELECT doc_id, simhash, unnest([{bucket_items}]) AS bucket FROM fp),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+             bit_count(xor(l.simhash, r.simhash)) AS hamming
+      FROM ks l JOIN ks r ON l.bucket = r.bucket AND l.doc_id < r.doc_id)
+    SELECT a, b, hamming FROM cand WHERE hamming <= {max_hamming}"""
 
 _CLUSTERS_SQL = (
     "WITH RECURSIVE "
@@ -340,6 +386,37 @@ def oracle_sql() -> dict[str, str]:
             CAST(round(avg(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS avg_price,
             count(DISTINCT o_custkey) AS n_customers
           FROM orders GROUP BY 1""",
+        "pricing_summary": """SELECT l_returnflag, l_linestatus,
+            CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+            CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
+            CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * CAST(1.0 - l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_disc_price,
+            CAST(round(avg(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS avg_qty,
+            count(*) AS n_lines
+          FROM lineitem
+          WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+          GROUP BY 1, 2""",
+        "supplier_region_revenue": """SELECT r_name, n_name,
+            CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * CAST(1.0 - l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+            count(*) AS n_lines
+          FROM lineitem l
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          JOIN nation n ON s.s_nationkey = n.n_nationkey
+          JOIN region r ON n.n_regionkey = r.r_regionkey
+          GROUP BY 1, 2""",
+        "brand_yearly_profit": """SELECT p_brand, year(l_shipdate) AS l_year,
+            CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * CAST(1.0 - l_discount AS DECIMAL(18,4))
+                           - CAST(l_quantity AS DECIMAL(18,2))
+                             * CAST(p_retailprice AS DECIMAL(18,2))
+                             * CAST(0.1 AS DECIMAL(4,2))), 2) AS DOUBLE) AS margin,
+            CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+            count(DISTINCT s_suppkey) AS n_suppliers
+          FROM lineitem l
+          JOIN part p ON l.l_partkey = p.p_partkey
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          GROUP BY 1, 2""",
         "region_revenue": """SELECT r_name,
             CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue,
             count(*) AS n_orders
@@ -371,6 +448,19 @@ def oracle_sql() -> dict[str, str]:
           GROUP BY source""",
         "ann_lsh": OS.ann_lsh_sql(n_bits=4, n_tables=8),
         "ann_ivf": OS.ann_ivf_sql(),
+        "pipeline_full_portable": OS.portable_pipeline_clusters_sql(
+            Q.PORTABLE_PIPELINE_CONFIG
+        ),
+        "dedup_minhash_pairs_portable": _dedup_minhash_pairs_sql(),
+        "dedup_simhash_pairs_portable": _dedup_simhash_pairs_sql(),
+        "near_dup_keeplist": f"""WITH RECURSIVE pr AS ({_dedup_minhash_pairs_sql()}),
+          sym AS (SELECT a AS s, b AS d FROM pr UNION ALL SELECT b, a FROM pr),
+          walk(node, front) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT w.node, e.d FROM walk w JOIN sym e ON w.front = e.s
+          )
+          SELECT node AS doc_id, min(front) AS keep_id FROM walk GROUP BY node""",
         "registry_lookup": """SELECT COALESCE(r.lang_family, 'unknown') AS lang_family, count(*) AS n_docs
           FROM documents d
           LEFT JOIN (VALUES ('en','germanic'),('de','germanic'),('es','romance'),

@@ -37,6 +37,11 @@ class MatchConfig:
     minhash_perms: int = 30
     lsh_bands: int = 6
     shingle_words: int = 3            # word-shingle width over normalized content
+    # Hash tier for the minhash_lsh blocking family: True = xxhash64 (JVM,
+    # production); False = portable sha-derived hash, bit-identical in
+    # DuckDB, making the WHOLE pipeline (keys -> pairs -> clusters)
+    # oracle-checkable end-to-end (pipeline_full_portable).
+    minhash_fast: bool = True
     # Per-block pair-explosion guard: blocks larger than this are not
     # pair-expanded (logged, never silent — SURVEY.md §4.2). Exact-identity
     # families instead fall back to star edges above identity_star_threshold.

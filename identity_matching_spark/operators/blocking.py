@@ -102,14 +102,17 @@ def blocking_keys(records: DataFrame, config: MatchConfig) -> DataFrame:
             minhash_signature(
                 word_shingles(F.col("norm_content"), config.shingle_words),
                 config.minhash_perms,
-                fast=True,
+                fast=config.minhash_fast,
             ).alias("sig"),
         )
         mh = sig_df.select(
             "record_id",
             F.lit("minhash_lsh").alias("family"),
             F.explode(
-                lsh_band_keys(F.col("sig"), config.lsh_bands, config.lsh_rows_per_band, fast=True)
+                lsh_band_keys(
+                    F.col("sig"), config.lsh_bands, config.lsh_rows_per_band,
+                    fast=config.minhash_fast,
+                )
             ).alias("blocking_key"),
         )
         keyed = keyed.unionByName(mh)

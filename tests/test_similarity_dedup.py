@@ -98,6 +98,35 @@ def test_simhash_near_dup_finds_planted(spark, docs):
     assert planted.count() >= 7
 
 
+def test_near_dup_keeplist_collapses_planted(spark, docs):
+    """Planted near-dups must collapse onto ONE keeper (the original,
+    min-id) via pairs -> CC -> keeplist; untouched docs keep themselves."""
+    from identity_matching_spark.operators.dedup import near_dup_keeplist
+
+    base = docs.select("doc_id", "text")
+    dup1 = base.limit(8).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.regexp_replace("text", r"\bthe\b", "thee").alias("text"),
+    )
+    # second-degree copies: transitively reachable only through dup1
+    dup2 = dup1.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    d = base.unionByName(dup1).unionByName(dup2)
+    pairs = near_dup_pairs_minhash(d, "doc_id", "text", jaccard_threshold=0.35)
+    keep = near_dup_keeplist(d, "doc_id", pairs)
+    assert keep.count() == d.count()  # every row assigned
+    rows = {r["doc_id"]: r["keep_id"] for r in keep.collect()}
+    originals = [r["doc_id"] for r in base.limit(8).collect()]
+    collapsed = sum(
+        1 for o in originals
+        if rows[o + 100000] == o and rows[o + 200000] == o
+    )
+    assert collapsed >= 6  # transitive collapse onto the min-id original
+    # originals always keep themselves (min-id representative)
+    assert all(rows[o] == o for o in originals)
+    # a keep_id is always <= its member's id (min-of-component invariant)
+    assert all(k <= i for i, k in rows.items())
+
+
 def test_simhash_rejects_silent_recall_cap(spark, docs):
     import pytest
 
