@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": Q.q_simhash,
         "fingerprint": Q.q_fingerprint,
         "lang_id": Q.q_lang_id,
+        "lang_id_trigram": Q.q_lang_id_trigram,
         "text_quality": Q.q_text_quality,
         "token_count": Q.q_token_count,
         "ann_cosine": Q.q_ann_cosine,
@@ -216,6 +217,35 @@ _CLUSTERS_SQL = (
 )
 
 
+def _lang_id_trigram_sql() -> str:
+    K = Q.TRIGRAM_K
+    prio = "CASE " + " ".join(
+        f"WHEN {c} = '{lang}' THEN {p}" for lang, p in Q.LANG_PRIO for c in ["lang"]
+    ) + " ELSE 0 END"
+    return f"""WITH t AS (
+      SELECT doc_id, lang, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+      FROM documents),
+    g AS (
+      SELECT doc_id, lang,
+        list_distinct([substr(norm, i, 3) for i in range(1, greatest(length(norm)-2, 1)+1)]) AS tgs
+      FROM t),
+    tr AS (SELECT lang, unnest(tgs) AS tg FROM g WHERE doc_id % 5 = 0),
+    cnt AS (SELECT lang, tg, count(*) AS c FROM tr GROUP BY 1, 2),
+    prof AS (
+      SELECT lang AS plang, tg, ({K} - rk + 1) AS wt, {prio} AS prio
+      FROM (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY c DESC, tg ASC) AS rk FROM cnt)
+      WHERE rk <= {K}),
+    dt AS (SELECT doc_id, unnest(tgs) AS tg FROM g),
+    sc AS (SELECT doc_id, plang, prio, sum(wt) AS score FROM dt JOIN prof USING (tg) GROUP BY 1, 2, 3),
+    bst AS (
+      SELECT doc_id, plang,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, prio DESC, plang DESC) AS r
+      FROM sc)
+    SELECT d.doc_id, d.lang, COALESCE(b.plang, 'en') AS pred_lang
+    FROM documents d
+    LEFT JOIN (SELECT doc_id, plang FROM bst WHERE r = 1) b USING (doc_id)"""
+
+
 def _lang_id_sql() -> str:
     sets = {
         "en": ["the", "a", "of", "and", "to", "in", "is"],
@@ -333,6 +363,7 @@ def oracle_sql() -> dict[str, str]:
             FROM w)
           SELECT doc_id, list_min([{_H64.format(x='s')} for s in sh]) AS fingerprint FROM s""",
         "lang_id": _lang_id_sql(),
+        "lang_id_trigram": _lang_id_trigram_sql(),
         "text_quality": f"""WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
           m AS (
             SELECT doc_id,

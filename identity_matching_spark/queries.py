@@ -351,7 +351,10 @@ def q_fingerprint(spark, sf_dir):
 def q_lang_id(spark, sf_dir):
     """Language-ID heuristic: stopword-hit counts per language, argmax with
     deterministic tie order (en > de > es > fr > zh)."""
-    d = load_table(spark, sf_dir, "documents")
+    return lang_id_stopword(load_table(spark, sf_dir, "documents"))
+
+
+def lang_id_stopword(d: DataFrame) -> DataFrame:
     toks = tokens_of(F.col("text"))
     sets = {
         "en": ["the", "a", "of", "and", "to", "in", "is"],
@@ -374,6 +377,94 @@ def q_lang_id(spark, sf_dir):
         .otherwise("zh")
     )
     return df.select("doc_id", "lang", pred.alias("pred_lang"))
+
+
+#: trigram model size per language; deterministic tie order for argmax
+LANG_PRIO = (("en", 5), ("de", 4), ("es", 3), ("fr", 2), ("zh", 1))
+TRIGRAM_K = 200
+
+
+def _char_trigrams(norm):
+    """Distinct character trigrams of a normalized string, pure Columns
+    (substr over an index sequence). Short strings yield one (possibly
+    short) fragment so every doc scores."""
+    n = F.length(norm)
+    idx = F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: norm.substr(i, F.lit(3))))
+
+
+def _lang_prio_expr(col):
+    expr = F.lit(0)
+    for lang, p in LANG_PRIO:
+        expr = F.when(col == lang, F.lit(p)).otherwise(expr)
+    return expr
+
+
+def q_lang_id_trigram(spark, sf_dir):
+    """Language-ID via character-trigram profiles (VERDICT r2 #6 — the
+    n-gram upgrade over the stopword argmax); value-exact vs DuckDB.
+
+    NOTE on measured accuracy: the driver corpus's lang labels are
+    text-INDEPENDENT (all five languages draw from one shared vocabulary
+    — verified empirically: per-lang top-word distributions are
+    identical), so no classifier can beat the majority class there. The
+    accuracy claim (trigram > stopword baseline) is therefore asserted in
+    pytest on a real-signal multilingual corpus
+    (tests/test_text_models.py); the driver gate checks value-exactness."""
+    return lang_id_trigram(load_table(spark, sf_dir, "documents"))
+
+
+def lang_id_trigram(d: DataFrame) -> DataFrame:
+    """Self-trained trigram model: on the deterministic split
+    (doc_id % 5 == 0, labeled), build per-language top-K character
+    trigrams by document frequency, rank-weighted (integer); score =
+    weight sum per language over each doc's distinct trigrams; argmax
+    with deterministic (score, priority, lang) order.
+
+    100 TB notes: the profile is 5*K rows -> broadcast; the doc side is
+    one explode + one broadcast join + one groupBy — linear, no shuffle
+    wider than the (doc_id, lang) aggregate. Integer weights keep it
+    value-exact in DuckDB."""
+    from pyspark.sql import Window
+
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    g = d.select("doc_id", "lang", _char_trigrams(norm).alias("tgs"))
+
+    train = g.filter(F.col("doc_id") % 5 == 0)
+    cnt = (
+        train.select("lang", F.explode("tgs").alias("tg"))
+        .groupBy("lang", "tg")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("tg"))
+    profile = (
+        cnt.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TRIGRAM_K)
+        .select(
+            "tg",
+            F.col("lang").alias("plang"),
+            (F.lit(TRIGRAM_K) - F.col("rk") + 1).alias("wt"),
+            _lang_prio_expr(F.col("lang")).alias("prio"),
+        )
+    )
+    scored = (
+        g.select("doc_id", F.explode("tgs").alias("tg"))
+        .join(F.broadcast(profile), "tg")
+        .groupBy("doc_id", "plang", "prio")
+        .agg(F.sum("wt").alias("score"))
+    )
+    best = (
+        scored.groupBy("doc_id")
+        .agg(F.max(F.struct("score", "prio", "plang")).alias("b"))
+        .select("doc_id", F.col("b.plang").alias("pred"))
+    )
+    return (
+        d.select("doc_id", "lang")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id", "lang", F.coalesce("pred", F.lit("en")).alias("pred_lang")
+        )
+    )
 
 
 def q_text_quality(spark, sf_dir):

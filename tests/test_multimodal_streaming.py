@@ -42,12 +42,22 @@ def test_extract_features_fixed_width(media):
         assert f2[r["media_id"]] == r["features"]
 
 
-def test_resize_updates_metadata_only_images(media):
-    out = resize_images(media, 64, 64)
+def test_resize_really_resamples_images(media):
+    from identity_matching_spark.operators.multimodal import (
+        decode_bmp,
+        decode_ppm_frames,
+    )
+
+    out = resize_images(media, 6, 5)
     rows = out.collect()
     assert all(r["kind"] == "image" for r in rows)
-    assert all(r["width"] == 64 and r["height"] == 64 for r in rows)
+    assert all(r["width"] == 6 and r["height"] == 5 for r in rows)
     assert len(rows) == media.filter(F.col("kind") == "image").count()
+    # the payload itself is resampled, not just the metadata
+    for r in rows[:6]:
+        data = bytes(r["payload"])
+        px = decode_bmp(data) if data[:2] == b"BM" else decode_ppm_frames(data)[0]
+        assert px.shape == (5, 6, 3)
 
 
 def test_frame_sampling_grid(media):
@@ -63,11 +73,59 @@ def test_custom_decoder_seam(media):
     def decoder(payload, kind):
         import numpy as np
 
-        return np.full(32, float(len(payload or b"")), dtype="float32")
+        return np.full(32, 7.5, dtype="float32")
 
     feats = extract_features(media.limit(5), dim=4, decoder=decoder)
     for r in feats.collect():
-        assert all(abs(x - 64.0) < 1e-6 for x in r["features"])  # sha256 hex = 64 bytes
+        assert all(abs(x - 7.5) < 1e-6 for x in r["features"])
+
+
+def test_codec_roundtrips():
+    """BMP (bottom-up BGR + row padding), stacked PPM and PCM WAV survive
+    encode -> decode byte-exactly — on an ASYMMETRIC image so row order
+    and channel order bugs cannot cancel out."""
+    import numpy as np
+
+    from identity_matching_spark.operators.multimodal import (
+        decode_bmp,
+        decode_ppm_frames,
+        decode_wav,
+        encode_bmp,
+        encode_ppm,
+        encode_wav,
+    )
+
+    rng = np.random.RandomState(3)
+    px = rng.randint(0, 256, size=(5, 7, 3)).astype(np.uint8)  # w*3 not %4
+    assert (decode_bmp(encode_bmp(px)) == px).all()
+    f0, f1 = px, px[::-1, ::-1]
+    got = decode_ppm_frames(encode_ppm(f0) + encode_ppm(f1))
+    assert len(got) == 2 and (got[0] == f0).all() and (got[1] == f1).all()
+    samples = (rng.randint(-1024, 1024, size=100)).astype("<i2")
+    assert (decode_wav(encode_wav(samples)) == samples.astype("float32")).all()
+
+
+def test_default_decoder_known_statistics(spark, media):
+    """The decoded signal is the real pixel/sample stream: features from
+    Spark equal a local numpy decode of the same payload, and unknown
+    payloads raise (codec seam, no silent hash fallback)."""
+    import numpy as np
+    import pytest as pt
+
+    from identity_matching_spark.operators.multimodal import _default_decoder
+
+    rows = {r["media_id"]: r for r in media.collect()}
+    feats = {r["media_id"]: r["features"] for r in extract_features(media, dim=8).collect()}
+    checked = 0
+    for mid, r in rows.items():
+        sig = _default_decoder(bytes(r["payload"]), r["kind"])
+        expect = [float(c.mean()) if len(c) else 0.0 for c in np.array_split(sig.astype(np.float32), 8)]
+        got = feats[mid]
+        assert all(abs(a - b) < 1e-4 for a, b in zip(got, expect)), mid
+        checked += 1
+    assert checked == 90
+    with pt.raises(NotImplementedError):
+        _default_decoder(b"\xff\xd8\xff\xe0 jpeg-ish", "image")
 
 
 def test_streaming_window_agg_matches_batch(spark):
