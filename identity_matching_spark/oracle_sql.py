@@ -194,6 +194,83 @@ phon AS (
 """
 
 
+def _metaphone_cte(max_len: int = 6) -> str:
+    """Exact DuckDB twin of functions/phonetic.metaphone_encode (VERDICT
+    r2 #9): the variable-advance state machine as a RECURSIVE CTE — one
+    row per (word, position) with (j, token-count, emitted) state; the
+    terminal row (max j) carries the code. Requires the query to open
+    with WITH RECURSIVE. Branch precedence (vowel > duplicate-skip >
+    letter rules) and the token-count-vs-char-cap distinction (loop stops
+    at 6 EMISSIONS, output truncated to 6 CHARS — 'KS' counts once) are
+    mirrored literally. Operates on px1.sx (the hapi-normalized stem from
+    the phonetic CTE)."""
+    V = "('a','e','i','o','u')"
+    emit = f"""CASE
+      WHEN ch IN {V} THEN CASE WHEN j = 1 THEN upper(ch) ELSE '' END
+      WHEN ch = prv AND ch != 'c' THEN ''
+      WHEN ch IN ('b','f','j','l','m','n','r') THEN upper(ch)
+      WHEN ch = 'c' THEN CASE WHEN nxt = 'h' THEN 'X' WHEN nxt IN ('i','e','y') THEN 'S' ELSE 'K' END
+      WHEN ch = 'd' THEN CASE WHEN nxt = 'g' AND nx2 IN ('i','e','y') THEN 'J' ELSE 'T' END
+      WHEN ch = 'g' THEN CASE WHEN nxt IN ('i','e','y') THEN 'J' ELSE 'K' END
+      WHEN ch = 'h' THEN CASE WHEN prv IN {V} AND nxt NOT IN {V} THEN '' ELSE 'H' END
+      WHEN ch = 'k' THEN CASE WHEN prv = 'c' THEN '' ELSE 'K' END
+      WHEN ch = 'p' THEN CASE WHEN nxt = 'h' THEN 'F' ELSE 'P' END
+      WHEN ch = 'q' THEN 'K'
+      WHEN ch = 's' THEN CASE WHEN nxt = 'h' THEN 'X' ELSE 'S' END
+      WHEN ch = 't' THEN CASE WHEN nxt = 'h' THEN '0' ELSE 'T' END
+      WHEN ch = 'v' THEN 'F'
+      WHEN ch = 'w' THEN CASE WHEN nxt IN {V} THEN 'W' ELSE '' END
+      WHEN ch = 'x' THEN 'KS'
+      WHEN ch = 'y' THEN CASE WHEN nxt IN {V} THEN 'Y' ELSE '' END
+      WHEN ch = 'z' THEN 'S'
+      ELSE '' END"""
+    # double advance fires only when the matching branch actually runs —
+    # the duplicate-skip rule takes precedence (e.g. 'ssh' consumes one
+    # 's', it does NOT swallow the 'h')
+    two = ("NOT (ch = prv AND ch != 'c') AND ("
+           "(ch = 'c' AND nxt = 'h') OR (ch = 'g' AND nxt = 'h')"
+           " OR (ch = 'p' AND nxt = 'h') OR (ch = 's' AND nxt = 'h')"
+           " OR (ch = 't' AND nxt = 'h')"
+           " OR (ch = 'd' AND nxt = 'g' AND nx2 IN ('i','e','y')))")
+    return rf"""
+mp1 AS (
+  SELECT record_id, sx IS NULL AS mp_null,
+    array_to_string([c for c in string_split(coalesce(sx, ''), '') if c ~ '\p{{L}}'], '') AS wq
+  FROM px1),
+mp2 AS (
+  SELECT record_id, mp_null,
+    CASE WHEN wq LIKE 'kn%' OR wq LIKE 'gn%' OR wq LIKE 'pn%' THEN 'n' || substr(wq, 3)
+         WHEN wq LIKE 'ae%' THEN 'e' || substr(wq, 3)
+         WHEN wq LIKE 'wr%' THEN 'r' || substr(wq, 3)
+         WHEN wq LIKE 'x%' THEN 's' || substr(wq, 2)
+         ELSE wq END AS w
+  FROM mp1),
+mstep(record_id, w, j, toks, out) AS (
+  SELECT record_id, w, 1, 0, '' FROM mp2 WHERE NOT mp_null
+  UNION ALL
+  SELECT record_id, w,
+         j + 1 + CASE WHEN {two} THEN 1 ELSE 0 END,
+         toks + CASE WHEN {emit} != '' THEN 1 ELSE 0 END,
+         out || {emit}
+  FROM (
+    SELECT record_id, w, j, toks, out,
+      substr(w, j, 1) AS ch,
+      CASE WHEN j = 1 THEN '' ELSE substr(w, j - 1, 1) END AS prv,
+      substr(w, j + 1, 1) AS nxt,
+      substr(w, j + 2, 1) AS nx2
+    FROM mstep WHERE j <= length(w) AND toks < {max_len}) s
+),
+mfin AS (
+  SELECT record_id, substr(out, 1, {max_len}) AS metaphone_stem,
+         row_number() OVER (PARTITION BY record_id ORDER BY j DESC) AS r
+  FROM mstep),
+met AS (
+  SELECT mp2.record_id, m.metaphone_stem
+  FROM mp2 LEFT JOIN (SELECT record_id, metaphone_stem FROM mfin WHERE r = 1) m
+    USING (record_id))
+"""
+
+
 def fuzzy_scored_sql(jw_threshold: float, lev_threshold: float) -> str:
     """C14-C16 + verdict_phonetic over the SQL-expressible pair set.
 
@@ -210,8 +287,11 @@ def fuzzy_scored_sql(jw_threshold: float, lev_threshold: float) -> str:
            "ELSE 1.0 - CAST(levenshtein(l.stem, r.stem) AS DOUBLE)"
            " / greatest(length(l.stem), length(r.stem)) END)")
     return (
-        "WITH "
-        + ",".join([FILES_CTE, RECORDS_CTE, KEYS_CTE, PAIRS_CTE, _phonetic_cte()])
+        "WITH RECURSIVE "
+        + ",".join(
+            [FILES_CTE, RECORDS_CTE, KEYS_CTE, PAIRS_CTE, _phonetic_cte(),
+             _metaphone_cte()]
+        )
         + f""",
 fuzzy AS (
   SELECT p.left_id, p.right_id,
@@ -219,6 +299,8 @@ fuzzy AS (
              AND pl.cologne_dir1 = pr.cologne_dir1, FALSE) AS cologne_given_match,
     COALESCE(pl.soundex_stem IS NOT NULL AND pr.soundex_stem IS NOT NULL
              AND pl.soundex_stem = pr.soundex_stem, FALSE) AS soundex_family_match,
+    COALESCE(ml.metaphone_stem IS NOT NULL AND mr.metaphone_stem IS NOT NULL
+             AND ml.metaphone_stem = mr.metaphone_stem, FALSE) AS metaphone_family_match,
     COALESCE({jw} >= {jw_threshold}, FALSE) AS jw_family_match,
     COALESCE({lev} >= {lev_threshold}, FALSE) AS lev_family_match,
     round(COALESCE({jw}, 0.0), 4) AS jw_family_sim,
@@ -227,7 +309,9 @@ fuzzy AS (
   JOIN records l ON p.left_id = l.record_id
   JOIN records r ON p.right_id = r.record_id
   JOIN phon pl ON p.left_id = pl.record_id
-  JOIN phon pr ON p.right_id = pr.record_id)
+  JOIN phon pr ON p.right_id = pr.record_id
+  JOIN met ml ON p.left_id = ml.record_id
+  JOIN met mr ON p.right_id = mr.record_id)
 SELECT *,
   CASE WHEN cologne_given_match AND soundex_family_match THEN 'MATCH'
        WHEN cologne_given_match THEN 'POSSIBLE_MATCH'

@@ -202,10 +202,10 @@ def q_ssn4_projection(spark, sf_dir):
 
 def q_scored_pairs_fuzzy(spark, sf_dir):
     """C14-C16 + G3 phonetic verdict: fuzzy comparator flags over the
-    SQL-expressible pair set. Soundex/cologne compare per-record encodings
-    (enriched once, linear); Jaro-Winkler comes from the distinct-stem-pair
-    table (operators/compare.jw_stem_table); metaphone is pytest-only (no
-    SQL twin for its variable-advance state machine)."""
+    SQL-expressible pair set. Soundex/cologne/metaphone compare per-record
+    encodings (enriched once, linear; the metaphone state machine's twin
+    is a recursive DuckDB CTE, oracle_sql._metaphone_cte); Jaro-Winkler
+    comes from the distinct-stem-pair table (compare.jw_stem_table)."""
     from identity_matching_spark.operators.compare import (
         compare_pairs_fuzzy,
         enrich_phonetic,
@@ -219,6 +219,7 @@ def q_scored_pairs_fuzzy(spark, sf_dir):
         "right_id",
         "cologne_given_match",
         "soundex_family_match",
+        "metaphone_family_match",
         "jw_family_match",
         "lev_family_match",
         "jw_family_sim",

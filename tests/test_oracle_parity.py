@@ -84,6 +84,45 @@ def test_sql_phonetics_match_python():
         assert row["cologne_dir1"] == cologne_encode(norm), ("cologne", w)
 
 
+def test_sql_metaphone_matches_python():
+    """VERDICT r2 #9: the recursive-CTE metaphone twin byte-for-byte vs
+    functions/phonetic.metaphone_encode. Vocabulary stresses every branch:
+    prefix rewrites (kn/gn/pn/ae/wr/x-), double-advance digraphs
+    (ch/gh/ph/sh/th/dge), duplicate-skip incl. its 'c' exception and its
+    precedence over digraphs ('ssh'), vowel-only-initial, h-between rules,
+    ck elision, and the token-count-vs-char-cap distinction ('xoxoxoxo'
+    emits 4 KS tokens = 8 chars, truncated to 6)."""
+    from identity_matching_spark.functions.phonetic import metaphone_encode
+
+    vocab = ["knight", "gnome", "pneumonia", "aeon", "wrist", "xavier",
+             "xylophone", "church", "schmidt", "pfister", "thomas", "dodge",
+             "judge", "ghost", "hugh", "right", "who", "what", "yellow", "y",
+             "ae", "ssh", "chh", "ough", "xx", "xxx", "aaa", "cc", "ccc",
+             "mississippi", "christopher", "xoxoxoxo", "accent", "czar",
+             "mcknight", "ah", "oh", "hhh", "cch", "tch", "washington",
+             "laughton", "edge", "edgy", "badger", "qqq", "vivid", "wyw",
+             "meyer", "maier", "breschnew", "wikipedia", ""]
+    # one guaranteed real-corpus sample so the twin is also checked against
+    # the stems the driver gate actually sees
+    con = _duck()
+    vocab += [r[0] for r in con.execute(
+        OS.PRELUDE + " SELECT DISTINCT lower(trim(stem)) FROM records"
+        " WHERE stem IS NOT NULL LIMIT 200"
+    ).fetchall()]
+    c2 = duckdb.connect()
+    c2.register("voc", pd.DataFrame({"w": sorted(set(vocab))}))
+    sql = ("WITH RECURSIVE px1 AS (SELECT w AS record_id, w AS sx FROM voc),"
+           + OS._metaphone_cte()
+           + " SELECT record_id, metaphone_stem FROM met")
+    out = c2.execute(sql).df()
+    assert len(out) == len(set(vocab))
+    for _, row in out.iterrows():
+        w = row["record_id"]
+        got = row["metaphone_stem"]
+        want = metaphone_encode(w)
+        assert got == want, (w, got, want)
+
+
 def test_name_prefix_key_accent_fold_parity(spark):
     """VERDICT r2 #4: the name_prefix oracle CTE must fold accents with
     the same translate table as Spark's hapi_norm — checked on a
