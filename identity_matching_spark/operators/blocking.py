@@ -133,6 +133,12 @@ def candidate_pairs(records: DataFrame, config: MatchConfig) -> BlockingResult:
     # so key derivation (incl. MinHash) runs once. At cluster scale this is
     # the derived blocking-key table an Iceberg deployment would write out.
     keyed = blocking_keys(records, config).persist(StorageLevel.MEMORY_AND_DISK)
+    # Materialization barrier: the pair query below references keyed from
+    # ~8 leaf stages (sizes broadcast, quad l/r, sub, salted l/r, hubs,
+    # star) which AQE submits concurrently — against a cold cache each
+    # would recompute the explode+MinHash key derivation before any
+    # partition registers. One eager pass = keys computed exactly once.
+    keyed.count()
 
     # One shuffle on blocking_key serves the size count AND the self-join.
     sizes = keyed.groupBy("family", "blocking_key").agg(F.count("*").alias("n_records"))

@@ -61,9 +61,15 @@ def attach_sides(pairs: DataFrame, records: DataFrame) -> DataFrame:
     attrs = records.select(*ATTR_COLS)
     lhs = attrs.select([F.col(c).alias(f"l_{c}") for c in ATTR_COLS])
     rhs = attrs.select([F.col(c).alias(f"r_{c}") for c in ATTR_COLS])
+    # shuffle_hash on the records side: a sort-merge id-join would SORT the
+    # wide pair×attrs intermediate on the second attach (measured ~930
+    # task-seconds at sf0.1 — external sort spill of ~330 MB/task); with
+    # the records side as the hashed build relation the pair stream only
+    # shuffles, never sorts. The build side is one records partition per
+    # task — the relation a cluster co-partitions by record_id anyway.
     return (
-        pairs.join(lhs, pairs.left_id == lhs.l_record_id, "inner")
-        .join(rhs, pairs.right_id == rhs.r_record_id, "inner")
+        pairs.join(lhs.hint("shuffle_hash"), pairs.left_id == lhs.l_record_id, "inner")
+        .join(rhs.hint("shuffle_hash"), pairs.right_id == rhs.r_record_id, "inner")
         .drop("l_record_id", "r_record_id")
     )
 
@@ -243,8 +249,8 @@ def jw_stem_table(pairs: DataFrame, records: DataFrame) -> DataFrame:
     r = stems.select(F.col("record_id").alias("right_id"), F.col("stem").alias("r_stem"))
     return (
         pairs.select("left_id", "right_id")
-        .join(l, "left_id")
-        .join(r, "right_id")
+        .join(l.hint("shuffle_hash"), "left_id")
+        .join(r.hint("shuffle_hash"), "right_id")
         .select("l_stem", "r_stem")
         .where(
             F.col("l_stem").isNotNull()
@@ -274,12 +280,20 @@ def compare_pairs_fuzzy(pairs: DataFrame, records: DataFrame, config) -> DataFra
     # can broadcast it when small instead of shuffling the huge pair list).
     enriched = records if "cologne_dir1" in records.columns else enrich_phonetic(records)
     cols = ATTR_COLS + PHONETIC_COLS
-    lhs = enriched.select([F.col(c).alias(f"l_{c}") for c in cols])
-    rhs = enriched.select([F.col(c).alias(f"r_{c}") for c in cols])
-    attached = (
-        pairs.join(lhs, pairs.left_id == lhs.l_record_id, "inner")
-        .join(rhs, pairs.right_id == rhs.r_record_id, "inner")
-        .drop("l_record_id", "r_record_id")
+    # JW values join onto the SLIM (ids, stems) pair projection BEFORE the
+    # wide attribute attach: the fallback stem-pair join is a sort-merge
+    # shuffle, and shuffling the fully-attached stream (both sides' attrs
+    # incl. line-hash arrays, ~0.5-1 KB/pair) by stem pair costs an order
+    # more bytes than shuffling (left_id, right_id, stems). The wide
+    # attached stream never shuffles — its joins end at the two id
+    # attaches below.
+    stems = enriched.select("record_id", "stem")
+    sl = stems.select(F.col("record_id").alias("left_id"), F.col("stem").alias("_jl"))
+    sr = stems.select(F.col("record_id").alias("right_id"), F.col("stem").alias("_jr"))
+    pairs_stems = (
+        pairs.select("left_id", "right_id")
+        .join(sl.hint("shuffle_hash"), "left_id")
+        .join(sr.hint("shuffle_hash"), "right_id")
     )
     # O(1)-scalar driver action (same pattern as the CC convergence check):
     # count the distinct-stem JW table once to pick broadcast vs shuffle
@@ -287,8 +301,27 @@ def compare_pairs_fuzzy(pairs: DataFrame, records: DataFrame, config) -> DataFra
     # the big side's map stage already ran.
     jwtab = jw_stem_table(pairs, enriched).persist(StorageLevel.MEMORY_AND_DISK)
     n_jw = jwtab.count()
-    jw_side = F.broadcast(jwtab) if n_jw <= config.jw_distinct_broadcast_limit else jwtab
-    attached = attached.join(jw_side, ["l_stem", "r_stem"], "left")
+    jw_side = (
+        F.broadcast(jwtab)
+        if n_jw <= config.jw_distinct_broadcast_limit
+        else jwtab.hint("shuffle_hash")
+    )
+    pairs_jw = pairs_stems.join(
+        jw_side,
+        (F.col("_jl") == jw_side["l_stem"]) & (F.col("_jr") == jw_side["r_stem"]),
+        "left",
+    ).select("left_id", "right_id", "jw_stem_val")
+    lhs = enriched.select([F.col(c).alias(f"l_{c}") for c in cols])
+    rhs = enriched.select([F.col(c).alias(f"r_{c}") for c in cols])
+    # rhs first: pairs_jw leaves the stem join partitioned by right_id
+    # (broadcast-jw case), so the first attach reuses that exchange.
+    # shuffle_hash build side = records: the wide pair×attrs intermediate
+    # streams through both attaches without ever sorting (see attach_sides).
+    attached = (
+        pairs_jw.join(rhs.hint("shuffle_hash"), pairs_jw.right_id == rhs.r_record_id, "inner")
+        .join(lhs.hint("shuffle_hash"), pairs_jw.left_id == lhs.l_record_id, "inner")
+        .drop("l_record_id", "r_record_id")
+    )
     flags = comparator_flags()
     jw = F.when(
         _eq(F.col("l_stem"), F.col("r_stem")), F.lit(1.0)

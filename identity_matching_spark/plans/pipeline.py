@@ -48,12 +48,34 @@ class PipelineResult:
         have been materialized; long-lived sessions otherwise accumulate
         cached blocks across runs."""
         jwtab = getattr(self.scored_pairs, "jw_stem_cache", None)
-        for df in (jwtab, self.scored_pairs, self.pairs, self.records):
+        slim = getattr(self.scored_pairs, "slim_cache", None)
+        for df in (jwtab, slim, self.scored_pairs, self.pairs, self.records):
             if df is not None:
                 try:
                     df.unpersist()
                 except Exception:
                     pass
+
+
+def with_match_messages(scored_slim: DataFrame) -> DataFrame:
+    """Insert the A3 ``match_messages`` column into a slim scored relation
+    at the same position ``grade_pairs(..., with_messages=True)`` emits it
+    (after ``verdict``, before ``verdict_phonetic``) so the two shapes are
+    schema-identical."""
+    from identity_matching_spark.operators.compare import match_messages_expr
+
+    cols: list = []
+    for c in scored_slim.columns:
+        cols.append(F.col(c))
+        if c == "verdict":
+            cols.append(match_messages_expr().alias("match_messages"))
+    return scored_slim.select(*cols)
+
+
+def _t(label: str, t0: float) -> None:
+    """Optional stage-timing trace (IMS_DEBUG_TIMING=1): barrier walls."""
+    if os.environ.get("IMS_DEBUG_TIMING"):
+        print(f"[pipeline] {label}: {time.time() - t0:.1f}s", flush=True)
 
 
 def run_pipeline(files: DataFrame, config: MatchConfig | None = None) -> PipelineResult:
@@ -69,6 +91,20 @@ def run_pipeline(files: DataFrame, config: MatchConfig | None = None) -> Pipelin
 
         records = enrich_phonetic(records)
     records = records.persist(StorageLevel.MEMORY_AND_DISK)
+    # EAGER materialization barrier. Each persisted stage is counted before
+    # the next stage's plan executes: AQE submits every leaf shuffle-map
+    # stage of a query CONCURRENTLY, so a chained lazy flow has 8-16
+    # stages all scanning a cold cache at t0 and each recomputing the
+    # expensive upstream (normalize+phonetic here, minhash-keys in
+    # blocking) before any cache partition is registered — measured ~1000
+    # wasted task-seconds at sf0.1 (event-log: sixteen concurrent 17.5 s
+    # 'count' stages). One barrier per stage = each relation computed
+    # exactly once; the barrier itself is a cache-populating pass the
+    # downstream consumers need anyway. This is also the production shape
+    # at 100 TB: you materialize the records table before a pair fan-out.
+    _t0 = time.time()
+    records.count()
+    _t("records_barrier", _t0)
     blocking: BlockingResult = candidate_pairs(records, config)
     pairs = blocking.pairs
     if config.enable_fuzzy:
@@ -78,16 +114,40 @@ def run_pipeline(files: DataFrame, config: MatchConfig | None = None) -> Pipelin
         # pass + main attach) — persist the 2-column pair list so the
         # blocking self-join runs once.
         pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+        _t0 = time.time()
+        pairs.count()
+        _t("pairs_barrier", _t0)
+        _t0 = time.time()
         flagged = compare_pairs_fuzzy(pairs, records, config)
+        _t("jwtab_count", _t0)
     else:
         flagged = compare_pairs(pairs, records)
-    scored = grade_pairs(flagged, with_messages=True).persist(StorageLevel.MEMORY_AND_DISK)
+    # Persist the SLIM scored relation (flags + score/weight/verdicts) and
+    # derive match_messages as a lazy projection over it: the message
+    # array is a pure function of the flag columns (20 string literals +
+    # filter, whole-stage codegen), so caching it would serialize ~0.5 KB
+    # of strings per pair into the columnar cache for data any consumer
+    # can recompute in-stream. Measured at sf0.1/local[16]: persist+count
+    # with cached messages 105 s vs 13 s slim — pure serialization
+    # bandwidth, which a bigger cluster cannot scale away. Downstream
+    # consumers (edge filter, CC, counts) prune to the slim columns; sinks
+    # materialize messages at write time.
+    scored_slim = grade_pairs(flagged, with_messages=False).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    _t0 = time.time()
+    scored_slim.count()  # barrier: CC's checkpoint stages scan a warm cache
+    _t("scored_slim_barrier", _t0)
+    scored = with_match_messages(scored_slim)
     # propagate the fuzzy path's persisted JW table for PipelineResult.cleanup
     scored.jw_stem_cache = getattr(flagged, "jw_stem_cache", None)
-    edges = scored.filter(F.col("score") >= F.lit(config.cluster_threshold)).select(
+    scored.slim_cache = scored_slim
+    edges = scored_slim.filter(F.col("score") >= F.lit(config.cluster_threshold)).select(
         "left_id", "right_id"
     )
+    _t0 = time.time()
     assignments = connected_components(edges, config)
+    _t("cc_loop", _t0)
     clusters = clusters_with_singletons(records, assignments)
     return PipelineResult(
         records=records,
