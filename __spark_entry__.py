@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_keeplist": Q.q_near_dup_keeplist,
         "ann_lsh": Q.q_ann_lsh,
         "ann_ivf": Q.q_ann_ivf,
+        "dedup_embedding": Q.q_dedup_embedding,
         "media_features": Q.q_media_features,
         # --- full pipeline ---
         # production config (fast xxhash64 minhash; rows-only check) ...
@@ -479,6 +480,7 @@ def oracle_sql() -> dict[str, str]:
           GROUP BY source""",
         "ann_lsh": OS.ann_lsh_sql(n_bits=4, n_tables=8),
         "ann_ivf": OS.ann_ivf_sql(),
+        "dedup_embedding": OS.dedup_embedding_sql(),
         "pipeline_full_portable": OS.portable_pipeline_clusters_sql(
             Q.PORTABLE_PIPELINE_CONFIG
         ),

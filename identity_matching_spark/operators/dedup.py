@@ -173,8 +173,13 @@ def near_dup_pairs_embedding(
     vec_col: str = "embedding",
     n_bits: int = 8,
     n_tables: int = 4,
+    dim: int | None = None,
 ) -> DataFrame:
-    """Embedding-cosine near-dup via the RHP-LSH bucket join."""
+    """Embedding-cosine near-dup via the RHP-LSH bucket join.
+
+    Pass ``dim`` explicitly at scale — the fallback reads one row on the
+    driver, which is an extra job on a 100 TB table.
+    """
     from identity_matching_spark.operators.similarity import (
         _dot,
         _rhp_signature,
@@ -182,7 +187,8 @@ def near_dup_pairs_embedding(
     )
 
     u = with_unit_vectors(emb, id_col, vec_col)
-    dim = len(emb.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
     sigs = F.array(*[_rhp_signature(F.col("unit"), dim, n_bits, t) for t in range(n_tables)])
     # Bucket join on (bucket, vec_id) only; unit vectors re-attach to the
     # deduped candidate list by id (slim shuffle - see near_dup_pairs_minhash).

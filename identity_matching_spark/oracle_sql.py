@@ -470,19 +470,22 @@ unitv AS (SELECT vec_id, CASE WHEN n > 0 THEN [x / n FOR x IN v] ELSE v END AS u
 """
 
 
-def ann_lsh_sql(k: int = 5, dim: int = 64, n_bits: int = 8, n_tables: int = 4,
-                probe_below: int = 20) -> str:
+def _rhp_sig_sql(table: int, col: str, dim: int, n_bits: int) -> str:
+    """SQL twin of similarity._rhp_signature: one CASE per bit over the
+    same sha-derived ±1 hyperplane literals, same fold order."""
     from identity_matching_spark.operators.similarity import _hyperplane
 
-    def sig(table: int, col: str) -> str:
-        bits = []
-        for j in range(n_bits):
-            hp = _hyperplane(dim, table, j)
-            proj = _dot_chain(col + "[{i}]", hp, dim)
-            bits.append(f"CASE WHEN {proj} >= 0 THEN '1' ELSE '0' END")
-        return f"'t{table}:' || " + " || ".join(bits)
+    bits = []
+    for j in range(n_bits):
+        hp = _hyperplane(dim, table, j)
+        proj = _dot_chain(col + "[{i}]", hp, dim)
+        bits.append(f"CASE WHEN {proj} >= 0 THEN '1' ELSE '0' END")
+    return f"'t{table}:' || " + " || ".join(bits)
 
-    sigs = ", ".join(sig(t, "unit") for t in range(n_tables))
+
+def ann_lsh_sql(k: int = 5, dim: int = 64, n_bits: int = 8, n_tables: int = 4,
+                probe_below: int = 20) -> str:
+    sigs = ", ".join(_rhp_sig_sql(t, "unit", dim, n_bits) for t in range(n_tables))
     cos = _dot_chain("pu.unit[{i}]", "cu.unit[{i}]", dim)
     return f"""WITH {_unit_cte(dim)},
 ck AS (SELECT vec_id, unnest([{sigs}]) AS bucket FROM unitv),
@@ -498,6 +501,27 @@ sims AS (
   JOIN unitv cu ON c.vec_id = cu.vec_id),
 rk AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id ASC) AS rank FROM sims)
 SELECT probe_id, vec_id, cosine, rank FROM rk WHERE rank <= {k}"""
+
+
+def dedup_embedding_sql(threshold: float = 0.4, dim: int = 64, n_bits: int = 4,
+                        n_tables: int = 8) -> str:
+    """Twin of operators/dedup.near_dup_pairs_embedding: identical RHP
+    buckets (sha hyperplanes), a < b self-join on bucket collisions, exact
+    cosine on candidates, threshold filter on the rounded value."""
+    sigs = ", ".join(_rhp_sig_sql(t, "unit", dim, n_bits) for t in range(n_tables))
+    cos = _dot_chain("ua.unit[{i}]", "ub.unit[{i}]", dim)
+    return f"""WITH {_unit_cte(dim)},
+ck AS (SELECT vec_id, unnest([{sigs}]) AS bucket FROM unitv),
+cand AS (
+  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+  FROM ck l JOIN ck r USING (bucket)
+  WHERE l.vec_id < r.vec_id),
+sims AS (
+  SELECT c.a, c.b, round({cos}, 6) AS cosine
+  FROM cand c
+  JOIN unitv ua ON c.a = ua.vec_id
+  JOIN unitv ub ON c.b = ub.vec_id)
+SELECT a, b, cosine FROM sims WHERE cosine >= {threshold}"""
 
 
 def ann_ivf_sql(k: int = 5, dim: int = 64, n_cells: int = 16, n_probe: int = 4,

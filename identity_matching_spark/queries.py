@@ -810,6 +810,20 @@ def q_ann_lsh(spark, sf_dir):
     return cosine_topk_lsh(e, probes, k=5, n_bits=4, n_tables=8)
 
 
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs via the RHP-LSH bucket join,
+    value-exact vs the SQL twin (same deterministic hyperplane buckets,
+    same fold-order cosine). Threshold 0.4 because the driver embeddings
+    carry no planted duplicates (max pairwise cosine ~0.51); the planted
+    exact-dup behavior is pytest-asserted in test_similarity_dedup."""
+    from identity_matching_spark.operators.dedup import near_dup_pairs_embedding
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return near_dup_pairs_embedding(
+        e, cosine_threshold=0.4, n_bits=4, n_tables=8, dim=64
+    )
+
+
 def q_ann_ivf(spark, sf_dir):
     """IVF-cell ANN (rows-only; recall pytest-asserted)."""
     from identity_matching_spark.operators.similarity import cosine_topk_ivf

@@ -127,6 +127,28 @@ def test_near_dup_keeplist_collapses_planted(spark, docs):
     assert all(k <= i for i, k in rows.items())
 
 
+def test_embedding_near_dup_finds_planted(spark, emb):
+    """Planted exact-duplicate vectors collide in every RHP table and come
+    back at cosine 1.0; ids are passed as dim (no driver .first() job)."""
+    from identity_matching_spark.operators.dedup import near_dup_pairs_embedding
+
+    base = emb.select("vec_id", "embedding").filter(F.col("vec_id") < 50)
+    dups = base.limit(6).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    d = base.unionByName(dups)
+    pairs = near_dup_pairs_embedding(
+        d, cosine_threshold=0.99, n_bits=4, n_tables=8, dim=64
+    )
+    got = {(r["a"], r["b"]): r["cosine"] for r in pairs.collect()}
+    for r in dups.select("vec_id").collect():
+        o = r["vec_id"] - 100000
+        assert (o, r["vec_id"]) in got
+        assert got[(o, r["vec_id"])] == pytest.approx(1.0, abs=1e-6)
+    # nothing else in this corpus sits above 0.99
+    assert len(got) == 6
+
+
 def test_simhash_rejects_silent_recall_cap(spark, docs):
     import pytest
 
