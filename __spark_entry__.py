@@ -42,6 +42,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "candidate_pairs": Q.q_candidate_pairs,
         "scored_pairs": Q.q_scored_pairs,
         "match_messages": Q.q_match_messages,
+        "match_bundle": Q.q_match_bundle,
+        "json_roundtrip": Q.q_json_roundtrip,
         "grade_distribution": Q.q_grade_distribution,
         "weight_distribution": Q.q_weight_distribution,
         "mdm_verdicts": Q.q_mdm_verdicts,
@@ -286,6 +288,34 @@ def oracle_sql() -> dict[str, str]:
             {', '.join(OS.FLAG_SQL)}, CAST(score AS DOUBLE) AS score, weight, verdict
             FROM scored""",
         "match_messages": OS.match_messages_sql(),
+        "match_bundle": f"""{PS},
+          pats AS (
+            SELECT left_id AS probe_id,
+                   CAST(right_id AS VARCHAR) AS resource_id,
+                   CAST(score AS DOUBLE) AS search_score
+            FROM scored),
+          pe AS (
+            SELECT probe_id, resource_id, search_score,
+                   row_number() OVER (
+                     PARTITION BY probe_id
+                     ORDER BY search_score DESC, resource_id ASC) AS entry_index,
+                   count(*) OVER (PARTITION BY probe_id) AS bundle_total
+            FROM pats)
+          SELECT probe_id, entry_index, 'Patient' AS resource_type, resource_id,
+                 'http://example.org/Patient/' || resource_id AS full_url,
+                 'match' AS search_mode, search_score, bundle_total
+          FROM pe
+          UNION ALL
+          SELECT probe_id, 0 AS entry_index, 'Organization', 'OrgExample',
+                 'http://example.org/Organization/OrgExample', 'include',
+                 CAST(NULL AS DOUBLE), bundle_total
+          FROM (SELECT DISTINCT probe_id, bundle_total FROM pe)""",
+        "json_roundtrip": "WITH "
+        + OS.FILES_CTE
+        + """SELECT repo, path, commit, lang,
+                 sha256(content) AS content_sha,
+                 length(content) AS content_len
+           FROM files""",
         "grade_distribution": f"{PS} SELECT CAST(score AS DOUBLE) AS score, count(*) AS n_pairs FROM scored GROUP BY 1",
         "weight_distribution": f"{PS} SELECT weight, count(*) AS n_pairs FROM scored GROUP BY 1",
         "mdm_verdicts": f"{PS} SELECT verdict, count(*) AS n_pairs FROM scored GROUP BY 1",

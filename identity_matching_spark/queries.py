@@ -134,6 +134,40 @@ def q_match_messages(spark, sf_dir):
     )
 
 
+def q_match_bundle(spark, sf_dir):
+    """O3: per-probe searchset entry assembly — Organization include entry
+    at index 0, Patient match entries with search scores, bundle_total =
+    Patient-entry count (IdentityMatching.java:192-227, 455-459).
+    Deterministic (score desc, id asc) entry order; the reference's JPA
+    retrieval order is unspecified (divergence documented in bundle.py)."""
+    from identity_matching_spark.operators.bundle import match_bundle_entries
+
+    return match_bundle_entries(_scored(spark, sf_dir))
+
+
+def q_json_roundtrip(spark, sf_dir):
+    """F12: serialize each record row with to_json, parse back with
+    from_json against the explicit input_hint schema, and project the
+    parsed fields (content as sha256+length so the result stays slim).
+    Value-exact iff the JSON escape/parse path is lossless
+    (DataInitializer.java:69; IdentityMatching.java:206-208)."""
+    from identity_matching_spark.sources.json_records import (
+        records_from_json,
+        records_to_json,
+    )
+
+    files = files_from_documents(load_table(spark, sf_dir, "documents"))
+    rt = records_from_json(records_to_json(files))
+    return rt.select(
+        "repo",
+        "path",
+        "commit",
+        "lang",
+        F.sha2("content", 256).alias("content_sha"),
+        F.length("content").alias("content_len"),
+    )
+
+
 def q_grade_distribution(spark, sf_dir):
     """A2-style aggregate over G1 output."""
     return (
