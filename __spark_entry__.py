@@ -22,6 +22,9 @@ from identity_matching_spark.config import MatchConfig
 from identity_matching_spark.functions.hashing import minhash_coeffs, MINHASH_P
 from identity_matching_spark.plans.pipeline import run_pipeline
 from identity_matching_spark.sources.tables import files_from_documents, load_table
+from identity_matching_spark.streaming.sessions import (
+    DEFAULT_GAP_SECONDS as SESSION_GAP_SECONDS,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -78,6 +81,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "registry_lookup": Q.q_registry_lookup,
         # --- streaming / approximate / multimodal ---
         "streaming_window_agg": Q.q_streaming_window_agg,
+        "sessionize": Q.q_sessionize,
+        "sessionize_stream": Q.q_sessionize_stream,
         "dedup_minhash_fast": Q.q_dedup_minhash_fast,
         "dedup_simhash_fast": Q.q_dedup_simhash_fast,
         "dedup_minhash_pairs_portable": Q.q_dedup_minhash_portable,
@@ -504,6 +509,8 @@ def oracle_sql() -> dict[str, str]:
             count(*) AS n,
             CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
           FROM events GROUP BY 1, 2""",
+        "sessionize": OS.sessionize_sql(SESSION_GAP_SECONDS),
+        "sessionize_stream": OS.sessionize_sql(SESSION_GAP_SECONDS, closed_only=True),
         "federated_union": """SELECT source, count(*) AS n_docs, min(doc_id) AS first_doc
           FROM documents
           WHERE source IN ('src0', 'src1', 'src2', 'src3')

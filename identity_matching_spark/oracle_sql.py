@@ -667,3 +667,30 @@ def match_messages_sql() -> str:
       unnest(list_filter([{items}], x -> x IS NOT NULL)) AS message
     FROM flagged"""
     )
+
+
+def sessionize_sql(gap_seconds: int, closed_only: bool = False) -> str:
+    """Gaps-and-islands twin of streaming/sessions.py (integer-µs gap
+    compare, DECIMAL value sum — see that module's determinism notes).
+    ``closed_only`` drops each user's final open session: the exact set
+    the append-mode stateful streaming operator emits."""
+    gap_us = int(gap_seconds) * 1_000_000
+    qualify = (
+        "QUALIFY session_idx < max(session_idx) OVER (PARTITION BY user_id)"
+        if closed_only
+        else ""
+    )
+    idx = "" if closed_only else "session_idx,"
+    return f"""WITH e AS (
+  SELECT user_id, ts, event_id, value, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+  FROM events),
+s AS (
+  SELECT *, CAST(sum(CASE WHEN prev_us IS NULL OR us - prev_us > {gap_us} THEN 1 ELSE 0 END)
+    OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+  FROM e)
+SELECT user_id, {idx} min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
+FROM s GROUP BY user_id, session_idx
+{qualify}"""

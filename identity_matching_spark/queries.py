@@ -880,3 +880,19 @@ def q_media_features(spark, sf_dir):
     return feats.select(
         "media_id", "kind", F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 3).alias("feat_sum")
     )
+
+
+def q_sessionize(spark, sf_dir):
+    """Session windows (gaps-and-islands, 12h gap) over the event table —
+    one exchange total (window + rollup share the user_id partitioning)."""
+    from identity_matching_spark.streaming.sessions import sessionize_events
+
+    return sessionize_events(load_table(spark, sf_dir, "events"))
+
+
+def q_sessionize_stream(spark, sf_dir):
+    """Stateful-streaming sessionization (applyInPandasWithState, append
+    mode): emits exactly the sessions a later same-user event closed."""
+    from identity_matching_spark.streaming.sessions import closed_sessions_stream
+
+    return closed_sessions_stream(spark, f"{sf_dir}/events.parquet")
