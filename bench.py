@@ -115,7 +115,10 @@ def prepare_scoring_inputs(spark, n_entities: int):
         records = enrich_phonetic(normalize_files(files))
         records.select(*ATTR_COLS, *PHONETIC_COLS).write.mode("overwrite").parquet(rec_path)
         b = candidate_pairs(records, MatchConfig())
-        b.pairs.write.mode("overwrite").parquet(pair_path)
+        # 64 files: the scoring kernel is one shuffle-free codegen stage
+        # over this scan, so its task count IS the file count — 4x the
+        # widest bench parallelism keeps all cores busy through stragglers.
+        b.pairs.repartition(64).write.mode("overwrite").parquet(pair_path)
     return rec_path, pair_path
 
 
@@ -145,11 +148,18 @@ def run_scoring_kernel(spark, n_entities: int):
     flagged = compare_pairs_fuzzy(pairs, records, MatchConfig())
     scored = grade_pairs(flagged)
     scored.jw_stem_cache = getattr(flagged, "jw_stem_cache", None)
-    # hash EVERY output column into the aggregate so Catalyst cannot prune
-    # any comparator (incl. the pandas-UDF fuzzy columns) out of the run
+    # hash every COMPUTED output column into the aggregate so Catalyst
+    # cannot prune any comparator (incl. the fuzzy columns) out of the
+    # run; multi-arg xxhash64 hashes the columns directly without
+    # materializing a struct row per pair first. The id columns are scan
+    # passthrough (nothing to guard) — hashing their 64-char strings per
+    # pair would only measure string-hash bandwidth.
+    computed = [c for c in scored.columns if c not in ("left_id", "right_id")]
     n = scored.agg(
         F.count("*").alias("n"),
-        F.sum(F.xxhash64(F.struct(*scored.columns)).cast("decimal(38,0)")).alias("h"),
+        F.sum(
+            F.xxhash64(*[F.col(c) for c in computed]).cast("decimal(38,0)")
+        ).alias("h"),
     ).collect()[0]["n"]
     wall = time.time() - t0
     jwtab = getattr(scored, "jw_stem_cache", None)
@@ -161,6 +171,11 @@ def run_scoring_kernel(spark, n_entities: int):
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # Shuffle on tmpfs when available: /tmp here is a shared virtual disk
+    # whose throughput swings with co-tenant load (a real cluster shuffles
+    # to node-local NVMe). Spark's shutdown hook removes the dirs on stop.
+    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        os.environ.setdefault("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/ims_bench_local")
     sf = sf_of(sf_dir)
     n_entities = max(200, int(ENTITIES_PER_SF * sf))
 

@@ -65,10 +65,19 @@ class MatchConfig:
     jaro_winkler_threshold: float = 0.92
     levenshtein_ratio_threshold: float = 0.85
     enable_fuzzy: bool = True
-    # Jaro-Winkler is evaluated once per DISTINCT unequal stem pair (not per
-    # candidate pair) and joined back; below this row count the JW table is
-    # broadcast so the pair stream never shuffles for it.
-    jw_distinct_broadcast_limit: int = 4_000_000
+    # Jaro-Winkler/Levenshtein are evaluated once per DISTINCT unequal stem
+    # pair (not per candidate pair) and joined back; below this row count
+    # the table is broadcast so the pair stream never shuffles for it.
+    # 8M rows ≈ 500 MB of (stem, stem, double, double) entries — inside a
+    # scoring executor's memory, and far cheaper than the alternative (a
+    # full slim exchange of the pair stream against a shuffled table).
+    jw_distinct_broadcast_limit: int = 8_000_000
+    # Records-side row count under which the scoring attaches BROADCAST
+    # the attribute relation (~400 B/row -> ~400 MB ceiling): the pair
+    # stream then never shuffles — scan -> broadcast probes -> flags ->
+    # partial agg in one codegen pass. Above it, slim shuffle-hash id
+    # joins (the plan an arbitrary-scale pair list needs).
+    records_broadcast_limit: int = 1_000_000
     # --- input validation (P3-P6; IdentityMatching.java:519-560) ---
     # Records whose completeness tier ranks below this are dropped before
     # blocking: "NONE" | "BASE" | "L0" | "L1". The synthetic corpus is

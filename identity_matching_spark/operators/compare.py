@@ -51,25 +51,78 @@ def _eq(l: Column, r: Column) -> Column:
     return l.isNotNull() & r.isNotNull() & (l == r)
 
 
-def attach_sides(pairs: DataFrame, records: DataFrame) -> DataFrame:
+#: records-side row count under which the attach joins BROADCAST the
+#: attribute relation instead of shuffling the pair stream. ~400 B/row of
+#: comparator attributes puts the default at ~400 MB — comfortably inside
+#: a single executor's memory while removing every pair-stream exchange
+#: (the dominant kernel cost: serializing + compressing the wide
+#: pair×attrs rows was ~40% of scoring task-time at sf0.1).
+RECORDS_BROADCAST_LIMIT = 1_000_000
+
+
+def _records_side(records_relation: DataFrame, n_records: int, limit: int):
+    """Broadcast the records side when it fits, else shuffle-hash.
+
+    The O(1) count-based choice is deterministic (same pattern as the JW
+    table): AQE would only downgrade the exchange after the pair stream's
+    map stage already ran. The shuffle-hash fallback matters at real
+    scale — a sort-merge id-join would SORT the wide pair×attrs
+    intermediate (measured ~930 task-seconds at sf0.1 — external sort
+    spill of ~330 MB/task); with the records side as the hashed build
+    relation the pair stream only shuffles, never sorts.
+    """
+    if n_records <= limit:
+        return F.broadcast(records_relation)
+    return records_relation.hint("shuffle_hash")
+
+
+def _rid64(col) -> Column:
+    """8-byte twin of a 64-char sha-hex id (first 15 nibbles) — the same
+    2^-60-collision equality class as normalize.H64_PAIRS. Join keys in
+    the broadcast attach are these longs: a dense long-keyed hash relation
+    whose probe array stays cache-resident, instead of hashing + comparing
+    64-byte strings per probe per pair."""
+    return F.conv(F.substring(col, 1, 15), 16, 10).cast("long")
+
+
+def attach_sides(
+    pairs: DataFrame,
+    records: DataFrame,
+    n_records: int | None = None,
+    broadcast_limit: int = RECORDS_BROADCAST_LIMIT,
+    cols: list[str] | None = None,
+) -> DataFrame:
     """Join attributes onto both sides of the pair list.
 
-    Two shuffles on record_id (unavoidable for arbitrary pair lists);
-    records is projected to ATTR_COLS first so the shuffled payload is
-    minimal (no content strings cross the wire).
+    records is projected to the comparator columns first so the joined
+    payload is minimal (no content strings cross the wire). Small records
+    relations broadcast with long rid64 keys (zero pair-stream shuffles,
+    cache-resident probes); large ones shuffle-hash on record_id (two slim
+    shuffles — unavoidable for arbitrary pair lists).
     """
-    attrs = records.select(*ATTR_COLS)
-    lhs = attrs.select([F.col(c).alias(f"l_{c}") for c in ATTR_COLS])
-    rhs = attrs.select([F.col(c).alias(f"r_{c}") for c in ATTR_COLS])
-    # shuffle_hash on the records side: a sort-merge id-join would SORT the
-    # wide pair×attrs intermediate on the second attach (measured ~930
-    # task-seconds at sf0.1 — external sort spill of ~330 MB/task); with
-    # the records side as the hashed build relation the pair stream only
-    # shuffles, never sorts. The build side is one records partition per
-    # task — the relation a cluster co-partitions by record_id anyway.
+    cols = list(cols or ATTR_COLS)
+    if n_records is None:
+        n_records = records.count()
+    if n_records <= broadcast_limit:
+        def side(p: str):
+            return F.broadcast(records.select(
+                _rid64(F.col("record_id")).alias(f"{p}_rid64"),
+                *[F.col(c).alias(f"{p}_{c}") for c in cols if c != "record_id"],
+            ))
+        lhs, rhs = side("l"), side("r")
+        return (
+            pairs.withColumn("_lh64", _rid64(F.col("left_id")))
+            .withColumn("_rh64", _rid64(F.col("right_id")))
+            .join(lhs, F.col("_lh64") == lhs["l_rid64"], "inner")
+            .join(rhs, F.col("_rh64") == rhs["r_rid64"], "inner")
+            .drop("_lh64", "_rh64", "l_rid64", "r_rid64")
+        )
+    attrs = records.select(*cols)
+    lhs = attrs.select([F.col(c).alias(f"l_{c}") for c in cols]).hint("shuffle_hash")
+    rhs = attrs.select([F.col(c).alias(f"r_{c}") for c in cols]).hint("shuffle_hash")
     return (
-        pairs.join(lhs.hint("shuffle_hash"), pairs.left_id == lhs.l_record_id, "inner")
-        .join(rhs.hint("shuffle_hash"), pairs.right_id == rhs.r_record_id, "inner")
+        pairs.join(lhs, pairs.left_id == lhs["l_record_id"], "inner")
+        .join(rhs, pairs.right_id == rhs["r_record_id"], "inner")
         .drop("l_record_id", "r_record_id")
     )
 
@@ -229,8 +282,11 @@ FUZZY_FLAG_NAMES = [
 ]
 
 
-def jw_stem_table(pairs: DataFrame, records: DataFrame) -> DataFrame:
-    """Jaro-Winkler per DISTINCT unequal stem pair — not per candidate pair.
+def jw_stem_table(
+    pairs: DataFrame, records: DataFrame, n_records: int | None = None
+) -> DataFrame:
+    """Jaro-Winkler + Levenshtein-ratio per DISTINCT unequal stem pair —
+    not per candidate pair.
 
     Blocked candidate pairs repeat the same (l_stem, r_stem) combination
     millions of times (hot stems), so evaluating the pandas UDF per pair
@@ -240,25 +296,50 @@ def jw_stem_table(pairs: DataFrame, records: DataFrame) -> DataFrame:
     combine keeps that shuffle tiny), run the UDF once per distinct pair,
     and join the values back. The 100 TB pair stream never crosses the
     Arrow boundary; equal-stem pairs (the majority under stem-family
-    blocking) are JW=1.0 by definition and never even reach this table.
+    blocking) are JW=1.0 (and lev-ratio 1.0) by definition and never even
+    reach this table. Levenshtein rides here too: the builtin is JVM-side
+    but still O(|s|²) DP per evaluation — evaluating it once per distinct
+    unequal pair instead of once per candidate pair removes ~90M DP runs
+    at sf0.1.
+
+    Rows are CANONICALIZED to (least(stem), greatest(stem)): Jaro-Winkler
+    and Levenshtein-ratio are both symmetric, so one orientation serves
+    both — halving the distinct set, the partial-agg hash maps, the UDF
+    calls, and the broadcast that ships the values back. Probe sides
+    canonicalize the same way.
     """
-    from identity_matching_spark.functions.similarity import jaro_winkler_udf
+    from identity_matching_spark.functions.similarity import (
+        jaro_winkler_udf,
+        levenshtein_ratio,
+    )
 
     stems = records.select("record_id", "stem")
-    l = stems.select(F.col("record_id").alias("left_id"), F.col("stem").alias("l_stem"))
-    r = stems.select(F.col("record_id").alias("right_id"), F.col("stem").alias("r_stem"))
+    if n_records is None:
+        n_records = records.count()
+    l = _records_side(
+        stems.select(F.col("record_id").alias("left_id"), F.col("stem").alias("_sl")),
+        n_records, RECORDS_BROADCAST_LIMIT,
+    )
+    r = _records_side(
+        stems.select(F.col("record_id").alias("right_id"), F.col("stem").alias("_sr")),
+        n_records, RECORDS_BROADCAST_LIMIT,
+    )
     return (
         pairs.select("left_id", "right_id")
-        .join(l.hint("shuffle_hash"), "left_id")
-        .join(r.hint("shuffle_hash"), "right_id")
-        .select("l_stem", "r_stem")
+        .join(l, "left_id")
+        .join(r, "right_id")
         .where(
-            F.col("l_stem").isNotNull()
-            & F.col("r_stem").isNotNull()
-            & (F.col("l_stem") != F.col("r_stem"))
+            F.col("_sl").isNotNull()
+            & F.col("_sr").isNotNull()
+            & (F.col("_sl") != F.col("_sr"))
+        )
+        .select(
+            F.least("_sl", "_sr").alias("l_stem"),
+            F.greatest("_sl", "_sr").alias("r_stem"),
         )
         .distinct()
         .withColumn("jw_stem_val", jaro_winkler_udf(F.col("l_stem"), F.col("r_stem")))
+        .withColumn("lev_stem_val", levenshtein_ratio(F.col("l_stem"), F.col("r_stem")))
     )
 
 
@@ -266,67 +347,118 @@ def compare_pairs_fuzzy(pairs: DataFrame, records: DataFrame, config) -> DataFra
     """Exact flag vector + fuzzy comparator flags.
 
     Phonetic-equality flags compare precomputed record attributes (cheap);
-    Jaro-Winkler values come from ``jw_stem_table`` (one UDF call per
-    distinct unequal stem pair, broadcast-joined back when small), and
-    Levenshtein-ratio stays a builtin Column (C16). Fuzzy columns append
+    Jaro-Winkler AND Levenshtein-ratio values come from ``jw_stem_table``
+    (one evaluation per distinct unequal stem pair, broadcast-joined back
+    when small; equal stems are 1.0 by definition). Fuzzy columns append
     AFTER the exact flags so the exact schema/decision table is unchanged.
     """
     from pyspark import StorageLevel
-
-    from identity_matching_spark.functions.similarity import levenshtein_ratio
 
     # Enrich only if the caller didn't already (pipelines enrich once at
     # normalize time — keeps this join side a plain relation, so Catalyst
     # can broadcast it when small instead of shuffling the huge pair list).
     enriched = records if "cologne_dir1" in records.columns else enrich_phonetic(records)
     cols = ATTR_COLS + PHONETIC_COLS
-    # JW values join onto the SLIM (ids, stems) pair projection BEFORE the
-    # wide attribute attach: the fallback stem-pair join is a sort-merge
-    # shuffle, and shuffling the fully-attached stream (both sides' attrs
-    # incl. line-hash arrays, ~0.5-1 KB/pair) by stem pair costs an order
-    # more bytes than shuffling (left_id, right_id, stems). The wide
-    # attached stream never shuffles — its joins end at the two id
-    # attaches below.
-    stems = enriched.select("record_id", "stem")
-    sl = stems.select(F.col("record_id").alias("left_id"), F.col("stem").alias("_jl"))
-    sr = stems.select(F.col("record_id").alias("right_id"), F.col("stem").alias("_jr"))
-    pairs_stems = (
-        pairs.select("left_id", "right_id")
-        .join(sl.hint("shuffle_hash"), "left_id")
-        .join(sr.hint("shuffle_hash"), "right_id")
-    )
-    # O(1)-scalar driver action (same pattern as the CC convergence check):
-    # count the distinct-stem JW table once to pick broadcast vs shuffle
-    # join deterministically — AQE would only downgrade the exchange after
-    # the big side's map stage already ran.
-    jwtab = jw_stem_table(pairs, enriched).persist(StorageLevel.MEMORY_AND_DISK)
+    # Two O(1) counts drive every join choice below (same pattern as the
+    # CC convergence check) — AQE would only downgrade an exchange after
+    # the pair stream's map stage already ran.
+    n_records = enriched.count()
+    jwtab = jw_stem_table(pairs, enriched, n_records).persist(StorageLevel.MEMORY_AND_DISK)
     n_jw = jwtab.count()
-    jw_side = (
-        F.broadcast(jwtab)
-        if n_jw <= config.jw_distinct_broadcast_limit
-        else jwtab.hint("shuffle_hash")
-    )
-    pairs_jw = pairs_stems.join(
-        jw_side,
-        (F.col("_jl") == jw_side["l_stem"]) & (F.col("_jr") == jw_side["r_stem"]),
-        "left",
-    ).select("left_id", "right_id", "jw_stem_val")
-    lhs = enriched.select([F.col(c).alias(f"l_{c}") for c in cols])
-    rhs = enriched.select([F.col(c).alias(f"r_{c}") for c in cols])
-    # rhs first: pairs_jw leaves the stem join partitioned by right_id
-    # (broadcast-jw case), so the first attach reuses that exchange.
-    # shuffle_hash build side = records: the wide pair×attrs intermediate
-    # streams through both attaches without ever sorting (see attach_sides).
-    attached = (
-        pairs_jw.join(rhs.hint("shuffle_hash"), pairs_jw.right_id == rhs.r_record_id, "inner")
-        .join(lhs.hint("shuffle_hash"), pairs_jw.left_id == lhs.l_record_id, "inner")
-        .drop("l_record_id", "r_record_id")
-    )
+
+    if (
+        n_records <= config.records_broadcast_limit
+        and n_jw <= config.jw_distinct_broadcast_limit
+    ):
+        # Broadcast regime: the whole kernel is ONE codegen pass over the
+        # pair stream — scan -> 3 broadcast probes -> flags -> partial
+        # agg, zero pair-stream exchanges. Attach attrs FIRST (the stems
+        # arrive with them — no separate stem probes), then look up JW/lev
+        # through a LONG-keyed hash relation: the probe key is
+        # xxhash64(l_stem, r_stem), NULL for equal-stem pairs so the
+        # majority of the stream skips the probe entirely; the string
+        # equality in the join condition only runs on hash hits, so a
+        # 64-bit collision can never attach the wrong value.
+        attached_aw = attach_sides(
+            pairs, enriched, n_records, config.records_broadcast_limit, cols=cols
+        )
+        jwb = F.broadcast(jwtab.select(
+            F.xxhash64("l_stem", "r_stem").alias("_jk"),
+            F.col("l_stem").alias("_jls"),
+            F.col("r_stem").alias("_jrs"),
+            "jw_stem_val",
+            "lev_stem_val",
+        ))
+        # canonical (least, greatest) orientation — the table stores each
+        # unordered stem pair once (JW/lev are symmetric)
+        cl, cg = F.least("l_stem", "r_stem"), F.greatest("l_stem", "r_stem")
+        probe_jk = F.when(
+            F.col("l_stem").isNull()
+            | F.col("r_stem").isNull()
+            | (F.col("l_stem") == F.col("r_stem")),
+            F.lit(None).cast("long"),
+        ).otherwise(F.xxhash64(cl, cg))
+        attached = (
+            attached_aw.withColumn("_jkp", probe_jk)
+            .join(
+                jwb,
+                (F.col("_jkp") == jwb["_jk"])
+                & (cl == jwb["_jls"])
+                & (cg == jwb["_jrs"]),
+                "left",
+            )
+            .drop("_jkp", "_jk", "_jls", "_jrs")
+        )
+    else:
+        # Fallback regime (records side too big to broadcast): JW/lev
+        # values join onto the SLIM (ids, stems) pair projection BEFORE
+        # the wide attribute attach — the stem-pair join is a shuffle
+        # there, and shuffling the fully-attached stream (both sides'
+        # attrs incl. line-hash arrays, ~0.5-1 KB/pair) by stem pair
+        # costs an order more bytes than shuffling (ids, stems).
+        stems = enriched.select("record_id", "stem")
+        sl = _records_side(
+            stems.select(F.col("record_id").alias("left_id"), F.col("stem").alias("_jl")),
+            n_records, config.records_broadcast_limit,
+        )
+        sr = _records_side(
+            stems.select(F.col("record_id").alias("right_id"), F.col("stem").alias("_jr")),
+            n_records, config.records_broadcast_limit,
+        )
+        pairs_stems = (
+            pairs.select("left_id", "right_id").join(sl, "left_id").join(sr, "right_id")
+        )
+        jw_side = (
+            F.broadcast(jwtab)
+            if n_jw <= config.jw_distinct_broadcast_limit
+            else jwtab.hint("shuffle_hash")
+        )
+        pairs_jw = pairs_stems.join(
+            jw_side,
+            (F.least("_jl", "_jr") == jw_side["l_stem"])
+            & (F.greatest("_jl", "_jr") == jw_side["r_stem"]),
+            "left",
+        ).select("left_id", "right_id", "jw_stem_val", "lev_stem_val")
+        lhs = (
+            enriched.select([F.col(c).alias(f"l_{c}") for c in cols])
+            .hint("shuffle_hash")
+        )
+        rhs = (
+            enriched.select([F.col(c).alias(f"r_{c}") for c in cols])
+            .hint("shuffle_hash")
+        )
+        attached = (
+            pairs_jw.join(rhs, pairs_jw.right_id == rhs["r_record_id"], "inner")
+            .join(lhs, pairs_jw.left_id == lhs["l_record_id"], "inner")
+            .drop("l_record_id", "r_record_id")
+        )
     flags = comparator_flags()
-    jw = F.when(
-        _eq(F.col("l_stem"), F.col("r_stem")), F.lit(1.0)
-    ).otherwise(F.col("jw_stem_val"))
-    lev = levenshtein_ratio(F.col("l_stem"), F.col("r_stem"))
+    stems_equal = _eq(F.col("l_stem"), F.col("r_stem"))
+    jw = F.when(stems_equal, F.lit(1.0)).otherwise(F.col("jw_stem_val"))
+    # Equal stems are lev-ratio 1.0 by definition; unequal pairs carry the
+    # value from the distinct-pair table — bit-identical to evaluating the
+    # builtin per pair (same function, same inputs), without 90M DP runs.
+    lev = F.when(stems_equal, F.lit(1.0)).otherwise(F.col("lev_stem_val"))
     out = attached.select(
         "left_id",
         "right_id",

@@ -26,6 +26,13 @@ def build_session(
         # 2x cores: finer tasks even out stragglers; AQE re-coalesces
         # anything that ends up too small.
         shuffle_partitions = max(2 * cpus, 16)
+    # Shuffle/spill local dirs: honor SPARK_GRAFT_LOCAL_DIR when set.
+    # bench.py points this at tmpfs (/dev/shm) — on this sandbox /tmp is a
+    # shared virtual disk whose writeback throughput swings with co-tenant
+    # load, which made the high-parallelism bench leg non-reproducible; a
+    # real cluster writes shuffle to node-local NVMe. Tests and normal runs
+    # keep Spark's default.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -39,6 +46,9 @@ def build_session(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if local_dir:
+        os.makedirs(local_dir, exist_ok=True)
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

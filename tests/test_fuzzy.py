@@ -92,3 +92,20 @@ def test_enrich_phonetic_columns(spark):
     assert out["soundex_stem"] == "P626"
     assert out["cologne_dir1"] is not None
     assert out["metaphone_stem"] is not None
+
+
+def test_kernel_plan_is_shuffle_free_in_broadcast_regime(spark):
+    """With the records side under records_broadcast_limit, the scoring
+    kernel must be one broadcast-probe pipeline over the pair stream:
+    no sort-merge or shuffled-hash join anywhere in the scored plan."""
+    rows = [
+        ("r1", "src/io/smith.py", "a" * 40, "python", "alpha beta"),
+        ("r2", "src/io/smyth.py", "b" * 40, "python", "alpha beta delta"),
+    ]
+    recs = _recs(spark, rows)
+    ids = sorted(r["record_id"] for r in recs.select("record_id").collect())
+    pairs = spark.createDataFrame([tuple(ids)], ["left_id", "right_id"])
+    scored = grade_pairs(compare_pairs_fuzzy(pairs, recs, CFG))
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4  # stems x2, jw table, attrs x2

@@ -128,7 +128,12 @@ def main() -> int:
         if run_accepted(args):
             return 0
         # preserve the degraded/failed run, restore the committed headline
-        tag = os.path.join(BENCH, f"bench_scaling_degraded_watch{attempt}.json")
+        n = attempt
+        while os.path.exists(
+            os.path.join(BENCH, f"bench_scaling_degraded_watch{n}.json")
+        ):
+            n += 1
+        tag = os.path.join(BENCH, f"bench_scaling_degraded_watch{n}.json")
         shutil.copy(HEADLINE, tag)
         if committed is not None:
             with open(HEADLINE, "w") as fh:
