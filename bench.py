@@ -98,7 +98,9 @@ def prepare_scoring_inputs(spark, n_entities: int):
     from identity_matching_spark.operators.compare import ATTR_COLS
     from identity_matching_spark.operators.normalize import normalize_files
 
-    rec_path = f"/tmp/ims_bench_records_{n_entities}.parquet"
+    # v2: ATTR_COLS schema with h64 path-token twins (r4) — versioned so a
+    # pre-rework cached relation is never fed to the new kernel.
+    rec_path = f"/tmp/ims_bench_records_v2_{n_entities}.parquet"
     pair_path = f"/tmp/ims_bench_pairs_{n_entities}.parquet"
     if not (
         os.path.exists(os.path.join(rec_path, "_SUCCESS"))
@@ -179,6 +181,16 @@ def main():
     sf = sf_of(sf_dir)
     n_entities = max(200, int(ENTITIES_PER_SF * sf))
 
+    # Host-capacity stamp (VERDICT r3 #2/#6): the sandbox host is
+    # tenant-oversubscribed, so absolute wall times from different bench
+    # windows are not comparable without knowing what the host delivered.
+    # One pure-CPU calibration burn at this run's width, emitted in the
+    # JSON line, makes every BENCH_rN file self-interpreting.
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+    from bench_scaling import hw_calibration
+
+    cal = hw_calibration(cpus)
+
     spark = build_session("bench", cpus=cpus)
 
     wall, pairs_scored, n_clusters, n_rows = run_headline(spark, n_entities)
@@ -213,6 +225,7 @@ def main():
         "kernel_pairs_per_sec": round(kpairs / kwall, 1) if kwall > 0 else None,
         "n_clusters": n_clusters,
         "cpus": cpus,
+        "cal_units_per_sec": round(cal, 1),
     }
     print(json.dumps(out))
     spark.stop()

@@ -12,11 +12,11 @@ Output-assembly parity notes (SURVEY.md §2.8):
   frame with a fresh uuid identity (the no-match OperationOutcome
   entry, IdentityMatching.java:486-495).
 * O3 — the reference prepends the requesting Organization resource at
-  bundle index 0 (IdentityMatching.java:205-214). That is FHIR bundle
-  assembly for the HTTP response envelope: a batch engine emits tables,
-  not bundles, so there is no index-0 entry to prepend. Deliberately
-  not implemented; callers assembling FHIR responses from these tables
-  own envelope construction.
+  bundle index 0 (IdentityMatching.java:205-214). Implemented in
+  ``operators/bundle.py`` (``assemble_match_bundle``; oracle-checked as
+  the ``match_bundle`` query): the engine emits the ordered searchset
+  entry table (Organization include at index 0, scored entries after,
+  Patient-only total) from which callers serialize the FHIR envelope.
 """
 
 from __future__ import annotations

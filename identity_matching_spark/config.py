@@ -61,6 +61,15 @@ class MatchConfig:
     # --- skew / shuffle ---
     salt_buckets: int = 16            # salt fan-out for hot blocking keys
     cc_max_iterations: int = 25       # large-star/small-star bound (log n in practice)
+    # Once the star iterations have shrunk the edge set at or below this
+    # row count, ephemeral (non-checkpointed) runs finish the component
+    # labeling with a single collect + driver union-find instead of more
+    # distributed rounds: each late iteration is a fixed ~5 s of
+    # scheduler/AQE latency over a few MB of edges — pure driver-phase
+    # overhead that does not scale with cores (the e2e-scaling cap,
+    # VERDICT r3 #2). 2M canonical edges ≈ 300 MB of 64-char id pairs —
+    # bounded driver memory; a larger graph keeps iterating distributed.
+    cc_driver_finish_edges: int = 2_000_000
     # --- fuzzy comparators (mdm-rules.json matchFields; SURVEY.md C14-C16) ---
     jaro_winkler_threshold: float = 0.92
     levenshtein_ratio_threshold: float = 0.85

@@ -68,6 +68,48 @@ def _small_star(e: DataFrame) -> DataFrame:
     return out
 
 
+def _finish_in_driver(e: DataFrame) -> DataFrame:
+    """Label the remaining (small) edge set with one collect + union-find.
+
+    The alternating-star loop shrinks the edge graph geometrically; once
+    it is a few hundred thousand rows, each further distributed iteration
+    is ~fixed scheduler/AQE latency over a few MB — driver-phase overhead
+    that a real cluster pays too and that does not scale with executors.
+    Gated by ``config.cc_driver_finish_edges`` and used only on the
+    ephemeral (localCheckpoint) path; durable checkpointed runs keep the
+    pure distributed loop so crash-resume snapshots stay iteration-exact.
+
+    Union-find with min-id-as-root + path compression: the component
+    representative is the MIN record_id in string order — identical ids
+    to the distributed extraction, verified by
+    tests/test_cluster_props.py::test_driver_finish_equivalence.
+    """
+    spark = e.sparkSession
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    rows = e.select("src", "dst").collect()
+    for r in rows:
+        a, b = find(r[0]), find(r[1])
+        if a == b:
+            continue
+        lo, hi = (a, b) if a < b else (b, a)
+        parent[hi] = lo
+    nodes: set[str] = set()
+    for r in rows:
+        nodes.add(r[0])
+        nodes.add(r[1])
+    data = [(x, find(x)) for x in nodes]
+    return spark.createDataFrame(data, schema="record_id string, cluster_id string")
+
+
 def connected_components(
     edges: DataFrame,
     config: MatchConfig | None = None,
@@ -148,6 +190,8 @@ def connected_components(
         e = _materialize(_canonical_edges(edges), 0)
         start_it = 1
     sig = _sig(e)
+    if ckpt is None and sig[0] <= config.cc_driver_finish_edges:
+        return _finish_in_driver(e)
     if ckpt is not None and not done:
         # fresh run: record the iteration-0 (canonical input) fingerprint
         import json as _json
@@ -163,6 +207,9 @@ def connected_components(
         if sig2 == sig:
             break
         sig = sig2
+        if ckpt is None and sig[0] <= config.cc_driver_finish_edges:
+            # small enough: one collect replaces the remaining rounds
+            return _finish_in_driver(e)
     # After convergence every edge points node -> component min.
     members = e.select(F.col("src").alias("record_id"), F.col("dst").alias("cluster_id"))
     reps = e.select(F.col("dst").alias("record_id"), F.col("dst").alias("cluster_id"))

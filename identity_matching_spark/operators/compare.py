@@ -27,12 +27,19 @@ from pyspark.sql import functions as F
 
 # Columns each side of a pair needs for comparison. Identity attributes
 # ride as 8-byte h64 twins (see operators/normalize.py H64_PAIRS) — the
-# 64-byte hex strings never enter the pair shuffle.
+# 64-byte hex strings never enter the pair shuffle. The path-token
+# attributes (dir1/dir2/parent_dir/ext) ride as xxhash64 twins too
+# (full-equality comparators only); dir2's initial rule uses the
+# precomputed (dir2_initial, dir2_is1) pair. stem is the one string
+# left in the probe row — C11's postal-prefix substring and the JW/lev
+# probe both need the real prefix — with stem_h64 alongside so the C3
+# equality is a long compare.
 ATTR_COLS = [
-    "record_id", "content_h64", "file_h64", "norm_h64", "ssn4", "stem", "ext",
-    "dir1", "dir2", "parent_dir", "lang_norm", "size_bucket",
-    "first_line_h64", "last_line_h64", "line_hashes", "sorted_lines_h64",
-    "shape_h64", "ins_member_h64", "ins_subscriber_h64",
+    "record_id", "content_h64", "file_h64", "norm_h64", "ssn4",
+    "stem", "stem_h64", "ext_h64", "dir1_h64", "dir2_h64",
+    "dir2_initial", "dir2_is1", "parent_dir_h64", "lang_norm",
+    "size_bucket", "first_line_h64", "last_line_h64", "line_hashes",
+    "sorted_lines_h64", "shape_h64", "ins_member_h64", "ins_subscriber_h64",
 ]
 
 # (flag name, attribute, comparison kind)
@@ -137,9 +144,9 @@ def comparator_flags() -> dict[str, Column]:
     R = lambda c: F.col(f"r_{c}")  # noqa: E731
 
     middle_initial = (
-        L("dir2").isNotNull() & R("dir2").isNotNull()
-        & ((F.length(L("dir2")) == 1) | (F.length(R("dir2")) == 1))
-        & (F.substring(L("dir2"), 1, 1) == F.substring(R("dir2"), 1, 1))
+        L("dir2_initial").isNotNull() & R("dir2_initial").isNotNull()
+        & (L("dir2_is1") | R("dir2_is1"))
+        & (L("dir2_initial") == R("dir2_initial"))
     )
 
     return {
@@ -151,9 +158,9 @@ def comparator_flags() -> dict[str, Column]:
         "passport_match": _eq(L("shape_h64"), R("shape_h64")),
         "insurance_member_match": _eq(L("ins_member_h64"), R("ins_member_h64")),
         "insurance_subscriber_match": _eq(L("ins_subscriber_h64"), R("ins_subscriber_h64")),
-        "family_name_match": _eq(L("stem"), R("stem")),
-        "first_name_match": _eq(L("dir1"), R("dir1")),
-        "middle_name_match": _eq(L("dir2"), R("dir2")),
+        "family_name_match": _eq(L("stem_h64"), R("stem_h64")),
+        "first_name_match": _eq(L("dir1_h64"), R("dir1_h64")),
+        "middle_name_match": _eq(L("dir2_h64"), R("dir2_h64")),
         "middle_initial_match": middle_initial,
         "birth_sex_match": _eq(L("lang_norm"), R("lang_norm")),
         "birth_date_match": _eq(L("size_bucket"), R("size_bucket")),
@@ -163,8 +170,8 @@ def comparator_flags() -> dict[str, Column]:
             L("line_hashes").isNotNull() & R("line_hashes").isNotNull()
             & F.arrays_overlap(L("line_hashes"), R("line_hashes"))
         ),
-        "address_city_match": _eq(L("parent_dir"), R("parent_dir")),
-        "address_state_match": _eq(L("ext"), R("ext")),
+        "address_city_match": _eq(L("parent_dir_h64"), R("parent_dir_h64")),
+        "address_state_match": _eq(L("ext_h64"), R("ext_h64")),
         "address_postal_match": _eq(
             F.substring(L("stem"), 1, 5), F.substring(R("stem"), 1, 5)
         ),

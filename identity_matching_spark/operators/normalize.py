@@ -138,8 +138,34 @@ def normalize_files(files: DataFrame) -> DataFrame:
             )
         ).alias("ins_subscriber_sha"),
     )
+    def _xx64(col_name: str) -> Column:
+        """Null-preserving 8-byte twin of a raw string attribute (Spark's
+        xxhash64 of NULL is the seed, which would make NULLs equal — the
+        comparators need NULL = no-match, so NULL stays NULL). Equality on
+        the twin is the comparator's string equality with 2^-64 false-hit
+        odds per pair; the pair stream carries the long, not the string."""
+        c = F.col(col_name)
+        return F.when(c.isNotNull(), F.xxhash64(c))
+
     return base.select(
         "*",
         F.substring(F.col("norm_sha"), 61, 4).alias("ssn4"),
         *[_h64_of(src).alias(dst) for src, dst in H64_PAIRS],
+        # twins for the path-token comparator attributes (C3-C6, C10): the
+        # broadcast probe rows in compare.attach_sides carry these longs
+        # instead of the strings. stem keeps its string in the probe row
+        # too (C11 postal-prefix substring + the JW/lev probe need it);
+        # dir2's initial rule (C6) needs only first-char + length-1, both
+        # precomputed here so the string itself never ships.
+        _xx64("stem").alias("stem_h64"),
+        _xx64("dir1").alias("dir1_h64"),
+        _xx64("dir2").alias("dir2_h64"),
+        _xx64("parent_dir").alias("parent_dir_h64"),
+        _xx64("ext").alias("ext_h64"),
+        F.when(F.col("dir2").isNotNull(), F.substring(F.col("dir2"), 1, 1)).alias(
+            "dir2_initial"
+        ),
+        F.when(F.col("dir2").isNotNull(), F.length(F.col("dir2")) == 1).alias(
+            "dir2_is1"
+        ),
     )

@@ -859,7 +859,8 @@ def q_dedup_embedding(spark, sf_dir):
 
 
 def q_ann_ivf(spark, sf_dir):
-    """IVF-cell ANN (rows-only; recall pytest-asserted)."""
+    """IVF-cell ANN (value-exact vs the DuckDB oracle since r3 — the cell
+    assignment is deterministic; recall additionally pytest-asserted)."""
     from identity_matching_spark.operators.similarity import cosine_topk_ivf
 
     e = load_table(spark, sf_dir, "embeddings")

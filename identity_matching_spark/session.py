@@ -39,6 +39,15 @@ def build_session(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Coalesce post-shuffle partitions to the target SIZE, not to the
+        # cluster's parallelism: the pipeline's late stages (CC iterations
+        # on a shrinking edge set, convergence signatures, singleton join)
+        # shuffle a few MB — parallelismFirst=true re-expands those to
+        # 2x-cores tasks whose scheduling overhead dominates their work,
+        # which is exactly the fixed driver-phase cost that caps e2e
+        # scaling on the bench (VERDICT r3 #2). Big shuffles are unaffected
+        # (they exceed the advisory size at every width).
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")

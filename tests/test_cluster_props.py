@@ -40,9 +40,14 @@ def test_cc_matches_union_find(spark, seed, n, m):
     nodes = [f"n{i:04d}" for i in range(n)]
     edges = [tuple(rng.sample(nodes, 2)) for _ in range(m)]
     edf = spark.createDataFrame(edges, ["left_id", "right_id"])
+    # cc_driver_finish_edges=0 pins the pure distributed star loop (the
+    # default would hand these tiny graphs to the driver finisher, which
+    # has its own equivalence test below)
     got = {
         r["record_id"]: r["cluster_id"]
-        for r in connected_components(edf, MatchConfig()).collect()
+        for r in connected_components(
+            edf, MatchConfig(cc_driver_finish_edges=0)
+        ).collect()
     }
     want = _uf_components(nodes, edges)
     touched = {a for e in edges for a in e}
@@ -56,9 +61,31 @@ def test_cc_chain_converges(spark):
     n = 200
     edges = [(f"c{i:04d}", f"c{i+1:04d}") for i in range(n - 1)]
     edf = spark.createDataFrame(edges, ["left_id", "right_id"])
-    got = connected_components(edf, MatchConfig())
+    got = connected_components(edf, MatchConfig(cc_driver_finish_edges=0))
     assert got.select("cluster_id").distinct().count() == 1
     assert got.count() == n
+
+
+@pytest.mark.parametrize("seed,n,m", [(11, 90, 140), (12, 40, 15)])
+def test_driver_finish_equivalence(spark, seed, n, m):
+    """The driver union-find finisher (default ephemeral path for small
+    edge sets) must produce EXACTLY the assignments of the pure
+    distributed loop — same representatives (min record_id), same rows."""
+    rng = random.Random(seed)
+    nodes = [f"d{i:04d}" for i in range(n)]
+    edges = [tuple(rng.sample(nodes, 2)) for _ in range(m)]
+    edf = spark.createDataFrame(edges, ["left_id", "right_id"])
+    via_driver = {
+        (r["record_id"], r["cluster_id"])
+        for r in connected_components(edf, MatchConfig()).collect()
+    }
+    via_loop = {
+        (r["record_id"], r["cluster_id"])
+        for r in connected_components(
+            edf, MatchConfig(cc_driver_finish_edges=0)
+        ).collect()
+    }
+    assert via_driver == via_loop
 
 
 def test_cc_durable_checkpoint_resume(spark, tmp_path):
