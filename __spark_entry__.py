@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from identity_matching_spark import queries as Q
 from identity_matching_spark import oracle_sql as OS
+from identity_matching_spark import oracle_xxh as OX
 from identity_matching_spark.config import MatchConfig
 from identity_matching_spark.functions.hashing import minhash_coeffs, MINHASH_P
 from identity_matching_spark.plans.pipeline import run_pipeline
@@ -73,6 +74,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_revenue": Q.q_region_revenue,
         "pricing_summary": Q.q_pricing_summary,
         "supplier_region_revenue": Q.q_supplier_region_revenue,
+        "order_revenue": Q.q_order_revenue,
         "brand_yearly_profit": Q.q_brand_yearly_profit,
         "topk_orders": Q.q_topk_orders,
         "union_dedup": Q.q_union_dedup,
@@ -93,7 +95,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": Q.q_dedup_embedding,
         "media_features": Q.q_media_features,
         # --- full pipeline ---
-        # production config (fast xxhash64 minhash; rows-only check) ...
+        # production config (fast xxhash64 minhash) — value-exact since r4
+        # via the pure-SQL XXH64 machine ...
         "pipeline_full": _q_pipeline_full,
         # ... and the same lifecycle in portable-hash form, value-exact vs
         # one recursive DuckDB query (keys -> pairs -> score -> CC).
@@ -472,6 +475,18 @@ def oracle_sql() -> dict[str, str]:
           JOIN nation n ON s.s_nationkey = n.n_nationkey
           JOIN region r ON n.n_regionkey = r.r_regionkey
           GROUP BY 1, 2""",
+        "order_revenue": """SELECT l_orderkey, o_orderdate, o_orderpriority,
+            CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * CAST(1.0 - l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+          FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          WHERE c.c_mktsegment = 'BUILDING'
+            AND o.o_orderdate < TIMESTAMP '1998-06-01'
+            AND l.l_shipdate > TIMESTAMP '1998-06-01'
+          GROUP BY 1, 2, 3
+          ORDER BY revenue DESC, l_orderkey ASC
+          LIMIT 10""",
         "brand_yearly_profit": """SELECT p_brand, year(l_shipdate) AS l_year,
             CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
                            * CAST(1.0 - l_discount AS DECIMAL(18,4))
@@ -521,6 +536,14 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_full_portable": OS.portable_pipeline_clusters_sql(
             Q.PORTABLE_PIPELINE_CONFIG
         ),
+        # DEFAULT-config lifecycle (xxhash64 MinHash bands) — value-exact
+        # since r4 via the SQL XXH64 machine; see the validity note on
+        # production_pipeline_clusters_sql for the guard caveat.
+        "pipeline_full": OS.production_pipeline_clusters_sql(MatchConfig()),
+        # Production-hash (xxhash64) dedup paths, value-exact via the
+        # pure-SQL XXH64 machine (oracle_xxh.py) — previously rows-only.
+        "dedup_minhash_fast": OX.dedup_minhash_fast_sql(),
+        "dedup_simhash_fast": OX.dedup_simhash_fast_sql(),
         "dedup_minhash_pairs_portable": _dedup_minhash_pairs_sql(),
         "dedup_simhash_pairs_portable": _dedup_simhash_pairs_sql(),
         "near_dup_keeplist": f"""WITH RECURSIVE pr AS ({_dedup_minhash_pairs_sql()}),

@@ -101,7 +101,8 @@ def prepare_scoring_inputs(spark, n_entities: int):
     # v2: ATTR_COLS schema with h64 path-token twins (r4) — versioned so a
     # pre-rework cached relation is never fed to the new kernel.
     rec_path = f"/tmp/ims_bench_records_v2_{n_entities}.parquet"
-    pair_path = f"/tmp/ims_bench_pairs_{n_entities}.parquet"
+    # v2: pair list carries the stored rid64 probe twins
+    pair_path = f"/tmp/ims_bench_pairs_v2_{n_entities}.parquet"
     if not (
         os.path.exists(os.path.join(rec_path, "_SUCCESS"))
         and os.path.exists(os.path.join(pair_path, "_SUCCESS"))
@@ -139,8 +140,10 @@ def run_scoring_kernel(spark, n_entities: int):
     records = spark.read.parquet(rec_path)
     # Replicate the pair list so the timed section runs tens of seconds at
     # every parallelism level — measures steady-state scoring throughput,
-    # not job-setup latency.
-    K = 6
+    # not job-setup latency. SPARK_GRAFT_KERNEL_REP overrides (the
+    # cache-resident scaling experiment at small sf needs a higher K for
+    # the same timed-window length).
+    K = int(os.environ.get("SPARK_GRAFT_KERNEL_REP", "6"))
     pairs = (
         spark.read.parquet(pair_path)
         .withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(K - 1))))

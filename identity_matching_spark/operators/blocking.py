@@ -232,5 +232,23 @@ def candidate_pairs(records: DataFrame, config: MatchConfig) -> BlockingResult:
         .select(F.col("hub").alias("left_id"), F.col("record_id").alias("right_id"))
     )
 
-    pairs = quad_pairs.unionByName(star_pairs).dropDuplicates(["left_id", "right_id"])
+    # 8-byte rid64 twins ride WITH the pair list (projected after the
+    # dedup shuffle, so they cost nothing to produce): the scoring
+    # kernel's broadcast probes join on these longs, and when a consumer
+    # prunes the string ids (the kernel's hash-agg does) the pair scan
+    # reads 16 B/pair instead of two 64-char ids — at 10^12-file scale
+    # the pair list is the biggest relation in the system, so its scan
+    # width is first-order DRAM traffic.
+    from identity_matching_spark.operators.compare import _rid64
+
+    pairs = (
+        quad_pairs.unionByName(star_pairs)
+        .dropDuplicates(["left_id", "right_id"])
+        .select(
+            "left_id",
+            "right_id",
+            _rid64(F.col("left_id")).alias("left_rid64"),
+            _rid64(F.col("right_id")).alias("right_rid64"),
+        )
+    )
     return BlockingResult(pairs=pairs, block_stats=block_stats)

@@ -111,18 +111,47 @@ def attach_sides(
     if n_records is None:
         n_records = records.count()
     if n_records <= broadcast_limit:
-        def side(p: str):
-            return F.broadcast(records.select(
-                _rid64(F.col("record_id")).alias(f"{p}_rid64"),
-                *[F.col(c).alias(f"{p}_{c}") for c in cols if c != "record_id"],
-            ))
-        lhs, rhs = side("l"), side("r")
+        # ONE shared broadcast relation probed from both sides (VERDICT r3
+        # #3): the two join children are the SAME plan subtree (only the
+        # SubqueryAlias differs, which canonicalization strips), so Spark
+        # plans the second BroadcastExchange as a ReusedExchange — one
+        # build, one in-memory copy per executor instead of two. Halving
+        # the probe working set matters beyond memory: the broadcast hash
+        # relation is what the kernel hammers per pair, and a smaller
+        # resident set is the difference between L3 hits and DRAM misses
+        # at high thread counts (the measured single-host scaling binder —
+        # BENCH/BASELINE.md memory-ceiling note). Column aliasing happens
+        # AFTER each join via qualified refs, so no per-side projection
+        # breaks the subtree identity. Plan-asserted in test_fuzzy.py.
+        rel = F.broadcast(records.select(
+            _rid64(F.col("record_id")).alias("rid64"),
+            *[F.col(c) for c in cols if c != "record_id"],
+        ))
+        lhs, rhs = rel.alias("_atl"), rel.alias("_atr")
+        side_cols = [c for c in cols if c != "record_id"]
+        # Prefer the pair list's stored rid64 twins (blocking emits them):
+        # the probe keys then come straight off the scan — no per-pair
+        # conv(substring(id)) — and a consumer that prunes the string ids
+        # scans 16 B/pair instead of 130 B.
+        if "left_rid64" in pairs.columns:
+            probed = pairs
+            lkey, rkey = F.col("left_rid64"), F.col("right_rid64")
+            out_cols = [c for c in pairs.columns if not c.endswith("_rid64")]
+        else:
+            probed = pairs.withColumn("_lh64", _rid64(F.col("left_id"))).withColumn(
+                "_rh64", _rid64(F.col("right_id"))
+            )
+            lkey, rkey = F.col("_lh64"), F.col("_rh64")
+            out_cols = pairs.columns
         return (
-            pairs.withColumn("_lh64", _rid64(F.col("left_id")))
-            .withColumn("_rh64", _rid64(F.col("right_id")))
-            .join(lhs, F.col("_lh64") == lhs["l_rid64"], "inner")
-            .join(rhs, F.col("_rh64") == rhs["r_rid64"], "inner")
-            .drop("_lh64", "_rh64", "l_rid64", "r_rid64")
+            probed
+            .join(lhs, lkey == F.col("_atl.rid64"), "inner")
+            .join(rhs, rkey == F.col("_atr.rid64"), "inner")
+            .select(
+                *[F.col(c) for c in out_cols],
+                *[F.col(f"_atl.{c}").alias(f"l_{c}") for c in side_cols],
+                *[F.col(f"_atr.{c}").alias(f"r_{c}") for c in side_cols],
+            )
         )
     attrs = records.select(*cols)
     lhs = attrs.select([F.col(c).alias(f"l_{c}") for c in cols]).hint("shuffle_hash")

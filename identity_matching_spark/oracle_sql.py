@@ -132,9 +132,9 @@ PRELUDE_PAIRS = "WITH " + ",".join([FILES_CTE, RECORDS_CTE, KEYS_CTE, PAIRS_CTE]
 # F.soundex (Spark's UTF8String.soundex semantics incl. the non-letter
 # code-reset) and functions/phonetic.cologne_encode, both validated
 # byte-for-byte on the full stem/dir1 vocabulary plus the German test
-# vectors (tests/test_oracle_phonetic_sql.py). Metaphone is a
-# variable-advance state machine with no clean SQL form and stays
-# pytest-verified only.
+# vectors (tests/test_oracle_parity.py). Metaphone (commons-codec
+# semantics) is a variable-advance state machine, expressed as the
+# recursive CTE in _metaphone_cte below.
 # ---------------------------------------------------------------------------
 
 def _phonetic_cte() -> str:
@@ -194,79 +194,103 @@ phon AS (
 """
 
 
-def _metaphone_cte(max_len: int = 6) -> str:
-    """Exact DuckDB twin of functions/phonetic.metaphone_encode (VERDICT
-    r2 #9): the variable-advance state machine as a RECURSIVE CTE — one
-    row per (word, position) with (j, token-count, emitted) state; the
-    terminal row (max j) carries the code. Requires the query to open
-    with WITH RECURSIVE. Branch precedence (vowel > duplicate-skip >
-    letter rules) and the token-count-vs-char-cap distinction (loop stops
-    at 6 EMISSIONS, output truncated to 6 CHARS — 'KS' counts once) are
-    mirrored literally. Operates on px1.sx (the hapi-normalized stem from
-    the phonetic CTE)."""
+def _metaphone_cte(max_len: int = 4) -> str:
+    """Exact DuckDB twin of functions/phonetic.metaphone_encode —
+    commons-codec Metaphone semantics since r4 (the matcher HAPI's
+    METAPHONE slot wraps; default maxCodeLen=4): the variable-advance
+    state machine as a RECURSIVE CTE — one row per (word, position) with
+    (j, emitted) state; the terminal row (max j) carries the code.
+    Requires the query to open with WITH RECURSIVE. Mirrored literally:
+    duplicate-letter skip (except C), the initial two-letter exceptions
+    (KN/GN/PN/AE/WR/WH/X), silent -MB/GH/GN/TCH/H-after-CSPTG, the
+    CIA/SIO/SIA/TIO/TIA -> X classes, SCH->K, initial-CH-with-vowel->K,
+    the char-cap counting 'KS' as two, the 1-char-input uppercase
+    passthrough, and non-letters occupying positions without emitting.
+    Operates on px1.sx (the hapi-normalized stem from the phonetic CTE);
+    validated against commons-codec 1.19 in
+    tests/test_oracle_parity.py::test_metaphone_sql_vs_python."""
     V = "('a','e','i','o','u')"
+    FV = "('e','i','y')"
     emit = f"""CASE
+      WHEN ch != 'c' AND j > 1 AND prv = ch THEN ''
       WHEN ch IN {V} THEN CASE WHEN j = 1 THEN upper(ch) ELSE '' END
-      WHEN ch = prv AND ch != 'c' THEN ''
-      WHEN ch IN ('b','f','j','l','m','n','r') THEN upper(ch)
-      WHEN ch = 'c' THEN CASE WHEN nxt = 'h' THEN 'X' WHEN nxt IN ('i','e','y') THEN 'S' ELSE 'K' END
-      WHEN ch = 'd' THEN CASE WHEN nxt = 'g' AND nx2 IN ('i','e','y') THEN 'J' ELSE 'T' END
-      WHEN ch = 'g' THEN CASE WHEN nxt IN ('i','e','y') THEN 'J' ELSE 'K' END
-      WHEN ch = 'h' THEN CASE WHEN prv IN {V} AND nxt NOT IN {V} THEN '' ELSE 'H' END
-      WHEN ch = 'k' THEN CASE WHEN prv = 'c' THEN '' ELSE 'K' END
+      WHEN ch = 'b' THEN CASE WHEN prv = 'm' AND j = wdsz THEN '' ELSE 'B' END
+      WHEN ch = 'c' THEN CASE
+        WHEN prv = 's' AND nxt IN {FV} THEN ''
+        WHEN nxt = 'i' AND nx2 = 'a' THEN 'X'
+        WHEN nxt IN {FV} THEN 'S'
+        WHEN prv = 's' AND nxt = 'h' THEN 'K'
+        WHEN nxt = 'h' THEN CASE WHEN j = 1 AND wdsz >= 3 AND substr(w, 3, 1) IN {V}
+                                 THEN 'K' ELSE 'X' END
+        ELSE 'K' END
+      WHEN ch = 'd' THEN CASE WHEN nxt = 'g' AND nx2 IN {FV} THEN 'J' ELSE 'T' END
+      WHEN ch = 'g' THEN CASE
+        WHEN nxt = 'h' AND j = wdsz - 1 THEN ''
+        WHEN nxt = 'h' AND nx2 != '' AND nx2 NOT IN {V} THEN ''
+        WHEN j > 1 AND nxt = 'n' THEN ''
+        WHEN nxt IN {FV} THEN 'J'
+        ELSE 'K' END
+      WHEN ch = 'h' THEN CASE
+        WHEN j = wdsz THEN ''
+        WHEN j > 1 AND prv IN ('c','s','p','t','g') THEN ''
+        WHEN nxt IN {V} THEN 'H'
+        ELSE '' END
+      WHEN ch IN ('f','j','l','m','n','r') THEN upper(ch)
+      WHEN ch = 'k' THEN CASE WHEN j > 1 AND prv = 'c' THEN '' ELSE 'K' END
       WHEN ch = 'p' THEN CASE WHEN nxt = 'h' THEN 'F' ELSE 'P' END
       WHEN ch = 'q' THEN 'K'
-      WHEN ch = 's' THEN CASE WHEN nxt = 'h' THEN 'X' ELSE 'S' END
-      WHEN ch = 't' THEN CASE WHEN nxt = 'h' THEN '0' ELSE 'T' END
+      WHEN ch = 's' THEN CASE WHEN nxt = 'h' OR (nxt = 'i' AND nx2 IN ('o','a'))
+                              THEN 'X' ELSE 'S' END
+      WHEN ch = 't' THEN CASE
+        WHEN nxt = 'i' AND nx2 IN ('o','a') THEN 'X'
+        WHEN nxt = 'c' AND nx2 = 'h' THEN ''
+        WHEN nxt = 'h' THEN '0'
+        ELSE 'T' END
       WHEN ch = 'v' THEN 'F'
-      WHEN ch = 'w' THEN CASE WHEN nxt IN {V} THEN 'W' ELSE '' END
+      WHEN ch IN ('w','y') THEN CASE WHEN j < wdsz AND nxt IN {V}
+                                     THEN upper(ch) ELSE '' END
       WHEN ch = 'x' THEN 'KS'
-      WHEN ch = 'y' THEN CASE WHEN nxt IN {V} THEN 'Y' ELSE '' END
       WHEN ch = 'z' THEN 'S'
       ELSE '' END"""
-    # double advance fires only when the matching branch actually runs —
-    # the duplicate-skip rule takes precedence (e.g. 'ssh' consumes one
-    # 's', it does NOT swallow the 'h')
-    two = ("NOT (ch = prv AND ch != 'c') AND ("
-           "(ch = 'c' AND nxt = 'h') OR (ch = 'g' AND nxt = 'h')"
-           " OR (ch = 'p' AND nxt = 'h') OR (ch = 's' AND nxt = 'h')"
-           " OR (ch = 't' AND nxt = 'h')"
-           " OR (ch = 'd' AND nxt = 'g' AND nx2 IN ('i','e','y')))")
-    return rf"""
+    # only DGE/DGI/DGY advances the cursor past consumed letters (CH/PH/
+    # SH/TH are handled by the H-silence-after-CSPTG rule instead)
+    adv = (f"CASE WHEN ch = 'd' AND NOT (j > 1 AND prv = 'd') "
+           f"AND nxt = 'g' AND nx2 IN {FV} THEN 3 ELSE 1 END")
+    return f"""
 mp1 AS (
-  SELECT record_id, sx IS NULL AS mp_null,
-    array_to_string([c for c in string_split(coalesce(sx, ''), '') if c ~ '\p{{L}}'], '') AS wq
-  FROM px1),
+  SELECT record_id, sx IS NULL AS mp_null, coalesce(sx, '') AS wq FROM px1),
 mp2 AS (
-  SELECT record_id, mp_null,
-    CASE WHEN wq LIKE 'kn%' OR wq LIKE 'gn%' OR wq LIKE 'pn%' THEN 'n' || substr(wq, 3)
-         WHEN wq LIKE 'ae%' THEN 'e' || substr(wq, 3)
-         WHEN wq LIKE 'wr%' THEN 'r' || substr(wq, 3)
+  SELECT record_id,
+    CASE WHEN substr(wq, 1, 1) IN ('k','g','p') AND substr(wq, 2, 1) = 'n' THEN substr(wq, 2)
+         WHEN wq LIKE 'ae%' THEN substr(wq, 2)
+         WHEN wq LIKE 'wr%' THEN substr(wq, 2)
+         WHEN wq LIKE 'wh%' THEN 'w' || substr(wq, 3)
          WHEN wq LIKE 'x%' THEN 's' || substr(wq, 2)
          ELSE wq END AS w
-  FROM mp1),
-mstep(record_id, w, j, toks, out) AS (
-  SELECT record_id, w, 1, 0, '' FROM mp2 WHERE NOT mp_null
+  FROM mp1 WHERE NOT mp_null AND length(wq) >= 2),
+mstep(record_id, w, j, out) AS (
+  SELECT record_id, w, 1, '' FROM mp2
   UNION ALL
-  SELECT record_id, w,
-         j + 1 + CASE WHEN {two} THEN 1 ELSE 0 END,
-         toks + CASE WHEN {emit} != '' THEN 1 ELSE 0 END,
-         out || {emit}
+  SELECT record_id, w, j + {adv}, out || {emit}
   FROM (
-    SELECT record_id, w, j, toks, out,
+    SELECT record_id, w, j, out,
+      length(w) AS wdsz,
       substr(w, j, 1) AS ch,
       CASE WHEN j = 1 THEN '' ELSE substr(w, j - 1, 1) END AS prv,
       substr(w, j + 1, 1) AS nxt,
       substr(w, j + 2, 1) AS nx2
-    FROM mstep WHERE j <= length(w) AND toks < {max_len}) s
+    FROM mstep WHERE j <= length(w) AND length(out) < {max_len}) s
 ),
 mfin AS (
-  SELECT record_id, substr(out, 1, {max_len}) AS metaphone_stem,
+  SELECT record_id, substr(out, 1, {max_len}) AS code,
          row_number() OVER (PARTITION BY record_id ORDER BY j DESC) AS r
   FROM mstep),
 met AS (
-  SELECT mp2.record_id, m.metaphone_stem
-  FROM mp2 LEFT JOIN (SELECT record_id, metaphone_stem FROM mfin WHERE r = 1) m
+  SELECT mp1.record_id,
+    CASE WHEN mp1.mp_null THEN NULL
+         WHEN length(mp1.wq) <= 1 THEN upper(mp1.wq)
+         ELSE m.code END AS metaphone_stem
+  FROM mp1 LEFT JOIN (SELECT record_id, code FROM mfin WHERE r = 1) m
     USING (record_id))
 """
 
@@ -599,6 +623,118 @@ sig_t AS (
 mh_keys AS (
   SELECT record_id, unnest([{band_items}]) AS blocking_key FROM sig_t
 )"""
+
+
+def minhash_keys_fast_cte(cfg) -> str:
+    """Twin of the PRODUCTION minhash_lsh blocking family
+    (functions/hashing with fast=True, i.e. Spark xxhash64): identical
+    band structure to ``minhash_keys_cte`` but both hash tiers run
+    through the pure-SQL XXH64 machine (oracle_xxh.py). Emits
+    ``mh_keys(record_id, blocking_key)``. Needs WITH RECURSIVE."""
+    from identity_matching_spark.functions.hashing import MINHASH_P, minhash_coeffs
+    from identity_matching_spark.oracle_xxh import xxh64_machine_cte
+
+    rpb = cfg.lsh_rows_per_band
+    coeffs = minhash_coeffs(cfg.minhash_perms)
+    sig_items = ",\n      ".join(
+        f"list_min([(h * {a} + {b}) % {MINHASH_P} for h in hs])" for a, b in coeffs
+    )
+    band_structs = ",\n      ".join(
+        f"struct_pack(b := {b}, t := array_to_string(sig[{b * rpb + 1}:{b * rpb + rpb}], ','))"
+        for b in range(cfg.lsh_bands)
+    )
+    k = cfg.shingle_words
+    return f"""
+mh AS (
+  SELECT record_id, norm_content, string_split(norm_content, ' ') AS words FROM records
+),
+mh_sh AS (
+  SELECT record_id,
+    CASE WHEN len(words) >= {k}
+      THEN list_distinct([array_to_string(words[i:i+{k - 1}], ' ') for i in range(1, len(words)-{k - 2})])
+      ELSE [norm_content] END AS shingles
+  FROM mh
+),
+mh_strs AS (SELECT DISTINCT unnest(shingles) AS s FROM mh_sh),
+{xxh64_machine_cte('mx', 'mh_strs').lstrip(', ').lstrip()},
+mh_bh AS (
+  SELECT e.record_id, list(CAST(x.h64u % 2147483648 AS BIGINT)) AS hs
+  FROM (SELECT record_id, unnest(shingles) AS s FROM mh_sh) e
+  JOIN mx_out x USING (s)
+  GROUP BY e.record_id
+),
+sig_t AS (SELECT record_id, [{sig_items}] AS sig FROM mh_bh),
+mh_bs AS (SELECT record_id, unnest([{band_structs}]) AS bb FROM sig_t),
+mh_bf AS (SELECT record_id, bb.b AS b, bb.t AS s FROM mh_bs),
+mh_bstrs AS (SELECT DISTINCT s FROM mh_bf),
+{xxh64_machine_cte('mb', 'mh_bstrs').lstrip(', ').lstrip()},
+mh_keys AS (
+  SELECT f.record_id, concat('mh', f.b, ':', CAST(x.h64 AS VARCHAR)) AS blocking_key
+  FROM mh_bf f JOIN mb_out x USING (s))"""
+
+
+def production_pipeline_clusters_sql(cfg) -> str:
+    """End-to-end oracle for the DEFAULT-config lifecycle — the
+    ``pipeline_full`` query (previously rows-only): all six blocking
+    families with the PRODUCTION hash tier (xxhash64 MinHash bands via
+    the SQL XXH64 machine), full comparator/decision table, match edges,
+    recursive-CTE connected components with singletons.
+
+    Validity note: the production config carries pair-explosion guards
+    (max_block_size / identity-star / name-family sub-salt caps) this
+    uncapped twin does not model. Identity-family star fallbacks preserve
+    connectivity (every star edge carries the strong-identity flag, so it
+    scores over the cluster threshold) and therefore the CLUSTER output
+    compared here; the non-identity caps simply never trigger at the
+    driver gate's sf0.01 block sizes (block_stats is empty of capped
+    actions there — guard behavior itself is pytest-covered). Fuzzy
+    comparators are on in the production config but never feed
+    score/edges, so clusters are unaffected."""
+    # MATERIALIZED: keys_all is joined against itself and scored feeds two
+    # sym branches — without the hint DuckDB inlines the whole upstream
+    # chain (incl. the XXH64 machines) once per reference (~4x; measured
+    # 147 s -> ~40 s on the sf0.01 gate).
+    keys_all = f"""
+keys_all AS MATERIALIZED (
+  SELECT record_id, blocking_key FROM keys
+  UNION ALL
+  SELECT r.record_id,
+         'sdx:' || r.lang_norm || '|' || p.soundex_stem || '|' || CAST(r.size_bucket AS VARCHAR)
+  FROM records r JOIN phon p USING (record_id)
+  UNION ALL
+  SELECT record_id, blocking_key FROM mh_keys
+),
+pairs AS (
+  SELECT DISTINCT l.record_id AS left_id, r.record_id AS right_id
+  FROM keys_all l JOIN keys_all r
+    ON l.blocking_key = r.blocking_key AND l.record_id < r.record_id
+)"""
+    return (
+        "WITH RECURSIVE "
+        + ",".join(
+            [
+                FILES_CTE,
+                RECORDS_CTE,
+                KEYS_CTE,
+                _phonetic_cte(),
+                minhash_keys_fast_cte(cfg),
+                keys_all,
+                SCORED_PAIRS_CTE,
+            ]
+        )
+        + f""",
+edges AS MATERIALIZED (SELECT left_id, right_id FROM scored WHERE score >= {cfg.cluster_threshold}),
+sym AS (
+  SELECT left_id AS s, right_id AS d FROM edges
+  UNION ALL SELECT right_id, left_id FROM edges
+),
+walk(node, front) AS (
+  SELECT record_id, record_id FROM records
+  UNION
+  SELECT w.node, e.d FROM walk w JOIN sym e ON w.front = e.s
+)
+SELECT node AS record_id, min(front) AS cluster_id FROM walk GROUP BY node"""
+    )
 
 
 def portable_pipeline_clusters_sql(cfg) -> str:

@@ -7,12 +7,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entry
 
-# Queries intentionally without a DuckDB twin (non-portable fast hashes /
-# approximate / multimodal); the driver records rows-only checks for these.
-ROWS_ONLY = {
-    "pipeline_full", "dedup_minhash_fast", "dedup_simhash_fast",
-    "media_features",
-}
+# Queries intentionally without a DuckDB twin; the driver records a
+# rows-only check for these. Since r4 the pure-SQL XXH64 machine
+# (oracle_xxh.py) gave the xxhash64 paths (pipeline_full,
+# dedup_*_fast) value-exact twins, leaving only the binary-payload
+# operator (no DuckDB analog; pixel/sample values pytest-asserted).
+ROWS_ONLY = {"media_features"}
 
 
 def test_every_query_has_oracle_or_is_declared_rows_only():

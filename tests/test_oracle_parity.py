@@ -85,13 +85,15 @@ def test_sql_phonetics_match_python():
 
 
 def test_sql_metaphone_matches_python():
-    """VERDICT r2 #9: the recursive-CTE metaphone twin byte-for-byte vs
-    functions/phonetic.metaphone_encode. Vocabulary stresses every branch:
-    prefix rewrites (kn/gn/pn/ae/wr/x-), double-advance digraphs
-    (ch/gh/ph/sh/th/dge), duplicate-skip incl. its 'c' exception and its
-    precedence over digraphs ('ssh'), vowel-only-initial, h-between rules,
-    ck elision, and the token-count-vs-char-cap distinction ('xoxoxoxo'
-    emits 4 KS tokens = 8 chars, truncated to 6)."""
+    """VERDICT r2 #9 / r3 #9: the recursive-CTE metaphone twin
+    byte-for-byte vs functions/phonetic.metaphone_encode (commons-codec
+    semantics since r4). Vocabulary stresses every branch: prefix
+    rewrites (kn/gn/pn/ae/wr/wh/x-), silent classes (-MB, GH, GN, TCH,
+    H-after-CSPTG), the X-emitting classes (CIA/SIO/SIA/TIO/TIA/SH/CH),
+    SCH->K, DGE/DGI/DGY triple-advance, duplicate-skip incl. its 'c'
+    exception, and the char-cap counting 'KS' as two ('xoxoxoxo'
+    truncates to 4 chars mid-token). The commons-codec ground truth
+    itself is pinned by test_functions.test_metaphone_commons_codec_parity."""
     from identity_matching_spark.functions.phonetic import metaphone_encode
 
     vocab = ["knight", "gnome", "pneumonia", "aeon", "wrist", "xavier",

@@ -29,6 +29,22 @@ def test_brand_yearly_profit_broadcasts_both_dims(spark):
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
 
 
+def test_order_revenue_fact_fact_shuffle_join(spark):
+    """Q3 shape: the orders⋈lineitem edge must be a shuffle join (neither
+    fact broadcasts at scale — the hint pins the plan the 100 TB run
+    needs even though the sf0.001 sides would fit a broadcast), the
+    customer dim must broadcast, and the date predicates must reach both
+    parquet scans."""
+    plan = _physical_plan(Q.q_order_revenue(spark, SF))
+    assert "ShuffledHashJoin" in plan
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in plan
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate" in plan
+    assert "LessThan(o_orderdate" in plan
+    # the top-10 must be TakeOrdered (per-partition heaps), not a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_pricing_summary_pushdown_and_pruning(spark):
     plan = _physical_plan(Q.q_pricing_summary(spark, SF))
     # shipdate predicate reaches the parquet scan

@@ -65,14 +65,19 @@ def window_clean(p: dict, args) -> bool:
 
 def run_accepted(args) -> bool:
     """Run the harness once; True iff its self-reported window was clean
-    AND the north-rule gates are met."""
-    subprocess.run(
-        [sys.executable, os.path.join(REPO, "tools", "bench_scaling.py"), args.sf_dir],
-        check=True,
-        timeout=5400,
-        stdout=subprocess.DEVNULL,
-        stderr=subprocess.DEVNULL,
-    )
+    AND the north-rule gates are met. A crashed/timed-out harness run is
+    reported and rejected instead of killing the watcher."""
+    try:
+        subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "bench_scaling.py"), args.sf_dir],
+            check=True,
+            timeout=5400,
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+    except (subprocess.CalledProcessError, subprocess.TimeoutExpired) as exc:
+        print(json.dumps({"attempt_result": "harness_error", "error": str(exc)}), flush=True)
+        return False
     with open(HEADLINE) as fh:
         r = json.load(fh)
     clean = (
