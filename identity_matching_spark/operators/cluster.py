@@ -85,28 +85,32 @@ def _finish_in_driver(e: DataFrame) -> DataFrame:
     tests/test_cluster_props.py::test_driver_finish_equivalence.
     """
     spark = e.sparkSession
-    parent: dict[str, str] = {}
+    rows = e.select("src", "dst").collect()
+    # Intern ids to dense ranks in string sort order: min-rank union-find
+    # root == min-string-id root, and the hot loop runs on a flat int
+    # array instead of a str->str dict (~4x faster at the 2M-edge gate —
+    # this collect+label is driver-fixed cost at every cluster width).
+    ids = sorted({x for r in rows for x in r})
+    rank = {x: i for i, x in enumerate(ids)}
+    parent = list(range(len(ids)))
 
-    def find(x: str) -> str:
-        root = x
-        while parent.get(root, root) != root:
+    def find(i: int) -> int:
+        root = i
+        while parent[root] != root:
             root = parent[root]
-        while parent.get(x, x) != x:
-            parent[x], x = root, parent[x]
+        while parent[i] != i:
+            parent[i], i = root, parent[i]
         return root
 
-    rows = e.select("src", "dst").collect()
     for r in rows:
-        a, b = find(r[0]), find(r[1])
+        a, b = find(rank[r[0]]), find(rank[r[1]])
         if a == b:
             continue
-        lo, hi = (a, b) if a < b else (b, a)
-        parent[hi] = lo
-    nodes: set[str] = set()
-    for r in rows:
-        nodes.add(r[0])
-        nodes.add(r[1])
-    data = [(x, find(x)) for x in nodes]
+        if a < b:
+            parent[b] = a
+        else:
+            parent[a] = b
+    data = [(x, ids[find(i)]) for i, x in enumerate(ids)]
     return spark.createDataFrame(data, schema="record_id string, cluster_id string")
 
 

@@ -25,19 +25,21 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# Columns each side of a pair needs for comparison. Identity attributes
-# ride as 8-byte h64 twins (see operators/normalize.py H64_PAIRS) — the
-# 64-byte hex strings never enter the pair shuffle. The path-token
-# attributes (dir1/dir2/parent_dir/ext) ride as xxhash64 twins too
-# (full-equality comparators only); dir2's initial rule uses the
-# precomputed (dir2_initial, dir2_is1) pair. stem is the one string
-# left in the probe row — C11's postal-prefix substring and the JW/lev
-# probe both need the real prefix — with stem_h64 alongside so the C3
-# equality is a long compare.
+# Columns each side of a pair needs for comparison. Every scalar is an
+# 8-byte long: identity attributes ride as h64 twins (see
+# operators/normalize.py H64_PAIRS), path tokens (stem/dir1/dir2/
+# parent_dir/ext) as xxhash64 twins, and the substring comparators hash
+# AFTER the substring (postal5_h64 = hash of the stem's first-5, C11;
+# dir2_init_h64 = hash of dir2's first char, C6) so prefix-equality
+# semantics survive while no string rides the probe row. line_hashes
+# (C9, arrays_overlap) is the one variable-width field left. Rationale:
+# the scoring kernel's single-host scaling binder is the resident
+# broadcast-probe working set (BENCH/BASELINE.md memory-ceiling note) —
+# all-long rows are both smaller and fixed-offset to decode.
 ATTR_COLS = [
-    "record_id", "content_h64", "file_h64", "norm_h64", "ssn4",
-    "stem", "stem_h64", "ext_h64", "dir1_h64", "dir2_h64",
-    "dir2_initial", "dir2_is1", "parent_dir_h64", "lang_norm",
+    "record_id", "content_h64", "file_h64", "norm_h64", "ssn4_h64",
+    "stem_h64", "postal5_h64", "ext_h64", "dir1_h64", "dir2_h64",
+    "dir2_init_h64", "dir2_is1", "parent_dir_h64", "lang_h64",
     "size_bucket", "first_line_h64", "last_line_h64", "line_hashes",
     "sorted_lines_h64", "shape_h64", "ins_member_h64", "ins_subscriber_h64",
 ]
@@ -173,16 +175,16 @@ def comparator_flags() -> dict[str, Column]:
     R = lambda c: F.col(f"r_{c}")  # noqa: E731
 
     middle_initial = (
-        L("dir2_initial").isNotNull() & R("dir2_initial").isNotNull()
+        L("dir2_init_h64").isNotNull() & R("dir2_init_h64").isNotNull()
         & (L("dir2_is1") | R("dir2_is1"))
-        & (L("dir2_initial") == R("dir2_initial"))
+        & (L("dir2_init_h64") == R("dir2_init_h64"))
     )
 
     return {
         "mrn_match": _eq(L("content_h64"), R("content_h64")),
         "digital_id_match": _eq(L("file_h64"), R("file_h64")),
         "ssn_match": _eq(L("norm_h64"), R("norm_h64")),
-        "ssn_last4_match": _eq(L("ssn4"), R("ssn4")),
+        "ssn_last4_match": _eq(L("ssn4_h64"), R("ssn4_h64")),
         "drivers_license_match": _eq(L("sorted_lines_h64"), R("sorted_lines_h64")),
         "passport_match": _eq(L("shape_h64"), R("shape_h64")),
         "insurance_member_match": _eq(L("ins_member_h64"), R("ins_member_h64")),
@@ -191,7 +193,7 @@ def comparator_flags() -> dict[str, Column]:
         "first_name_match": _eq(L("dir1_h64"), R("dir1_h64")),
         "middle_name_match": _eq(L("dir2_h64"), R("dir2_h64")),
         "middle_initial_match": middle_initial,
-        "birth_sex_match": _eq(L("lang_norm"), R("lang_norm")),
+        "birth_sex_match": _eq(L("lang_h64"), R("lang_h64")),
         "birth_date_match": _eq(L("size_bucket"), R("size_bucket")),
         "phone_match": _eq(L("first_line_h64"), R("first_line_h64")),
         "email_match": _eq(L("last_line_h64"), R("last_line_h64")),
@@ -201,9 +203,7 @@ def comparator_flags() -> dict[str, Column]:
         ),
         "address_city_match": _eq(L("parent_dir_h64"), R("parent_dir_h64")),
         "address_state_match": _eq(L("ext_h64"), R("ext_h64")),
-        "address_postal_match": _eq(
-            F.substring(L("stem"), 1, 5), F.substring(R("stem"), 1, 5)
-        ),
+        "address_postal_match": _eq(L("postal5_h64"), R("postal5_h64")),
     }
 
 
@@ -267,6 +267,20 @@ def match_messages_expr() -> Column:
 # --- fuzzy extension (C14-C16) ----------------------------------------------
 
 PHONETIC_COLS = ["cologne_dir1", "soundex_stem", "metaphone_stem"]
+#: 8-byte twins of the phonetic codes — what the scoring kernel's probe
+#: rows actually carry (the codes are equality-only comparators C14-C16;
+#: the string codes stay on the record relation for oracle/inspection).
+PHONETIC_H64_COLS = ["cologne_h64", "soundex_h64", "metaphone_h64"]
+
+
+def _phonetic_twins(df: DataFrame) -> DataFrame:
+    return df.select(
+        "*",
+        *[
+            F.when(F.col(s).isNotNull(), F.xxhash64(F.col(s))).alias(h)
+            for s, h in zip(PHONETIC_COLS, PHONETIC_H64_COLS)
+        ],
+    )
 
 
 def enrich_phonetic(records: DataFrame, distinct_broadcast: bool = True) -> DataFrame:
@@ -285,12 +299,12 @@ def enrich_phonetic(records: DataFrame, distinct_broadcast: bool = True) -> Data
     from identity_matching_spark.functions.phonetic import cologne_udf, metaphone_udf
 
     if not distinct_broadcast:
-        return records.select(
+        return _phonetic_twins(records.select(
             "*",
             cologne_udf(hapi_norm(F.col("dir1"))).alias("cologne_dir1"),
             F.soundex(hapi_norm(F.col("stem"))).alias("soundex_stem"),
             metaphone_udf(hapi_norm(F.col("stem"))).alias("metaphone_stem"),
-        )
+        ))
     base = records.select(
         "*",
         hapi_norm(F.col("dir1")).alias("_nd1"),
@@ -304,7 +318,7 @@ def enrich_phonetic(records: DataFrame, distinct_broadcast: bool = True) -> Data
         base.select(F.col("_nst")).where(F.col("_nst").isNotNull()).distinct()
         .select("_nst", metaphone_udf(F.col("_nst")).alias("metaphone_stem"))
     )
-    return (
+    return _phonetic_twins(
         base.join(F.broadcast(cologne_tab), "_nd1", "left")
         .join(F.broadcast(metaphone_tab), "_nst", "left")
         .withColumn("soundex_stem", F.soundex(F.col("_nst")))
@@ -352,18 +366,35 @@ def jw_stem_table(
     stems = records.select("record_id", "stem")
     if n_records is None:
         n_records = records.count()
-    l = _records_side(
-        stems.select(F.col("record_id").alias("left_id"), F.col("stem").alias("_sl")),
-        n_records, RECORDS_BROADCAST_LIMIT,
-    )
-    r = _records_side(
-        stems.select(F.col("record_id").alias("right_id"), F.col("stem").alias("_sr")),
-        n_records, RECORDS_BROADCAST_LIMIT,
-    )
+    if "left_rid64" in pairs.columns:
+        # pair lists from blocking carry 8-byte rid64 twins — key the stem
+        # maps on those so this scan never hashes 64-char id strings
+        l = _records_side(
+            stems.select(_rid64(F.col("record_id")).alias("left_rid64"),
+                         F.col("stem").alias("_sl")),
+            n_records, RECORDS_BROADCAST_LIMIT,
+        )
+        r = _records_side(
+            stems.select(_rid64(F.col("record_id")).alias("right_rid64"),
+                         F.col("stem").alias("_sr")),
+            n_records, RECORDS_BROADCAST_LIMIT,
+        )
+        joined = (
+            pairs.select("left_rid64", "right_rid64")
+            .join(l, "left_rid64").join(r, "right_rid64")
+        )
+    else:
+        l = _records_side(
+            stems.select(F.col("record_id").alias("left_id"), F.col("stem").alias("_sl")),
+            n_records, RECORDS_BROADCAST_LIMIT,
+        )
+        r = _records_side(
+            stems.select(F.col("record_id").alias("right_id"), F.col("stem").alias("_sr")),
+            n_records, RECORDS_BROADCAST_LIMIT,
+        )
+        joined = pairs.select("left_id", "right_id").join(l, "left_id").join(r, "right_id")
     return (
-        pairs.select("left_id", "right_id")
-        .join(l, "left_id")
-        .join(r, "right_id")
+        joined
         .where(
             F.col("_sl").isNotNull()
             & F.col("_sr").isNotNull()
@@ -376,10 +407,25 @@ def jw_stem_table(
         .distinct()
         .withColumn("jw_stem_val", jaro_winkler_udf(F.col("l_stem"), F.col("r_stem")))
         .withColumn("lev_stem_val", levenshtein_ratio(F.col("l_stem"), F.col("r_stem")))
+        # join keys for the kernel's probe side, which carries only the
+        # stems' xxhash64 twins (normalize.stem_h64): the canonical
+        # unordered pair re-keyed by hash order. JW/lev are symmetric, so
+        # hash-order == string-order rows carry the same value.
+        .withColumn(
+            "jh_lo", F.least(F.xxhash64("l_stem"), F.xxhash64("r_stem"))
+        )
+        .withColumn(
+            "jh_hi", F.greatest(F.xxhash64("l_stem"), F.xxhash64("r_stem"))
+        )
     )
 
 
-def compare_pairs_fuzzy(pairs: DataFrame, records: DataFrame, config) -> DataFrame:
+def compare_pairs_fuzzy(
+    pairs: DataFrame,
+    records: DataFrame,
+    config,
+    jw_pairs: DataFrame | None = None,
+) -> DataFrame:
     """Exact flag vector + fuzzy comparator flags.
 
     Phonetic-equality flags compare precomputed record attributes (cheap);
@@ -387,19 +433,34 @@ def compare_pairs_fuzzy(pairs: DataFrame, records: DataFrame, config) -> DataFra
     (one evaluation per distinct unequal stem pair, broadcast-joined back
     when small; equal stems are 1.0 by definition). Fuzzy columns append
     AFTER the exact flags so the exact schema/decision table is unchanged.
+
+    ``jw_pairs``: optional deduplicated source for the distinct-stem-pair
+    table. The table is a DISTINCT over the pairs' stem combinations, so
+    any relation with the same pair SET (e.g. the unreplicated scan when
+    ``pairs`` is a replicated stream, or a pre-deduped union) yields an
+    identical table while scanning fewer rows. Defaults to ``pairs``.
     """
     from pyspark import StorageLevel
 
     # Enrich only if the caller didn't already (pipelines enrich once at
     # normalize time — keeps this join side a plain relation, so Catalyst
     # can broadcast it when small instead of shuffling the huge pair list).
-    enriched = records if "cologne_dir1" in records.columns else enrich_phonetic(records)
-    cols = ATTR_COLS + PHONETIC_COLS
+    if "cologne_dir1" not in records.columns:
+        enriched = enrich_phonetic(records)
+    elif "cologne_h64" not in records.columns:
+        # phonetic codes present but not their twins (e.g. a relation
+        # persisted before the all-long probe schema): derive twins only
+        enriched = _phonetic_twins(records)
+    else:
+        enriched = records
+    cols = ATTR_COLS + PHONETIC_H64_COLS
     # Two O(1) counts drive every join choice below (same pattern as the
     # CC convergence check) — AQE would only downgrade an exchange after
     # the pair stream's map stage already ran.
     n_records = enriched.count()
-    jwtab = jw_stem_table(pairs, enriched, n_records).persist(StorageLevel.MEMORY_AND_DISK)
+    jwtab = jw_stem_table(
+        jw_pairs if jw_pairs is not None else pairs, enriched, n_records
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     n_jw = jwtab.count()
 
     if (
@@ -408,30 +469,31 @@ def compare_pairs_fuzzy(pairs: DataFrame, records: DataFrame, config) -> DataFra
     ):
         # Broadcast regime: the whole kernel is ONE codegen pass over the
         # pair stream — scan -> 3 broadcast probes -> flags -> partial
-        # agg, zero pair-stream exchanges. Attach attrs FIRST (the stems
-        # arrive with them — no separate stem probes), then look up JW/lev
-        # through a LONG-keyed hash relation: the probe key is
-        # xxhash64(l_stem, r_stem), NULL for equal-stem pairs so the
-        # majority of the stream skips the probe entirely; the string
-        # equality in the join condition only runs on hash hits, so a
-        # 64-bit collision can never attach the wrong value.
+        # agg, zero pair-stream exchanges. Attach attrs FIRST (the stem
+        # h64 twins arrive with them — no separate stem probes), then look
+        # up JW/lev through a LONG-keyed hash relation: the probe key is
+        # xxhash64 over the hash-ordered stem-twin pair, NULL for
+        # equal-stem pairs so the majority of the stream skips the probe
+        # entirely; the (jh_lo, jh_hi) equality on hash hits pins the
+        # match to the same 2^-64 h64 equality class the C3 comparator
+        # itself uses — no strings ride the probe rows at all.
         attached_aw = attach_sides(
             pairs, enriched, n_records, config.records_broadcast_limit, cols=cols
         )
         jwb = F.broadcast(jwtab.select(
-            F.xxhash64("l_stem", "r_stem").alias("_jk"),
-            F.col("l_stem").alias("_jls"),
-            F.col("r_stem").alias("_jrs"),
+            F.xxhash64("jh_lo", "jh_hi").alias("_jk"),
+            "jh_lo", "jh_hi",
             "jw_stem_val",
             "lev_stem_val",
         ))
-        # canonical (least, greatest) orientation — the table stores each
+        # canonical hash-ordered orientation — the table stores each
         # unordered stem pair once (JW/lev are symmetric)
-        cl, cg = F.least("l_stem", "r_stem"), F.greatest("l_stem", "r_stem")
+        cl = F.least("l_stem_h64", "r_stem_h64")
+        cg = F.greatest("l_stem_h64", "r_stem_h64")
         probe_jk = F.when(
-            F.col("l_stem").isNull()
-            | F.col("r_stem").isNull()
-            | (F.col("l_stem") == F.col("r_stem")),
+            F.col("l_stem_h64").isNull()
+            | F.col("r_stem_h64").isNull()
+            | (F.col("l_stem_h64") == F.col("r_stem_h64")),
             F.lit(None).cast("long"),
         ).otherwise(F.xxhash64(cl, cg))
         attached = (
@@ -439,11 +501,11 @@ def compare_pairs_fuzzy(pairs: DataFrame, records: DataFrame, config) -> DataFra
             .join(
                 jwb,
                 (F.col("_jkp") == jwb["_jk"])
-                & (cl == jwb["_jls"])
-                & (cg == jwb["_jrs"]),
+                & (cl == jwb["jh_lo"])
+                & (cg == jwb["jh_hi"]),
                 "left",
             )
-            .drop("_jkp", "_jk", "_jls", "_jrs")
+            .drop("_jkp", "_jk", "jh_lo", "jh_hi")
         )
     else:
         # Fallback regime (records side too big to broadcast): JW/lev
@@ -489,7 +551,8 @@ def compare_pairs_fuzzy(pairs: DataFrame, records: DataFrame, config) -> DataFra
             .drop("l_record_id", "r_record_id")
         )
     flags = comparator_flags()
-    stems_equal = _eq(F.col("l_stem"), F.col("r_stem"))
+    # same equality class as the C3 family comparator (stem_h64 twins)
+    stems_equal = _eq(F.col("l_stem_h64"), F.col("r_stem_h64"))
     jw = F.when(stems_equal, F.lit(1.0)).otherwise(F.col("jw_stem_val"))
     # Equal stems are lev-ratio 1.0 by definition; unequal pairs carry the
     # value from the distinct-pair table — bit-identical to evaluating the
@@ -499,14 +562,14 @@ def compare_pairs_fuzzy(pairs: DataFrame, records: DataFrame, config) -> DataFra
         "left_id",
         "right_id",
         *[F.coalesce(expr, F.lit(False)).alias(name) for name, expr in flags.items()],
-        F.coalesce(_eq(F.col("l_cologne_dir1"), F.col("r_cologne_dir1")), F.lit(False)).alias(
+        F.coalesce(_eq(F.col("l_cologne_h64"), F.col("r_cologne_h64")), F.lit(False)).alias(
             "cologne_given_match"
         ),
-        F.coalesce(_eq(F.col("l_soundex_stem"), F.col("r_soundex_stem")), F.lit(False)).alias(
+        F.coalesce(_eq(F.col("l_soundex_h64"), F.col("r_soundex_h64")), F.lit(False)).alias(
             "soundex_family_match"
         ),
         F.coalesce(
-            _eq(F.col("l_metaphone_stem"), F.col("r_metaphone_stem")), F.lit(False)
+            _eq(F.col("l_metaphone_h64"), F.col("r_metaphone_h64")), F.lit(False)
         ).alias("metaphone_family_match"),
         F.coalesce(jw >= F.lit(config.jaro_winkler_threshold), F.lit(False)).alias(
             "jw_family_match"

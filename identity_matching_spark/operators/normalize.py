@@ -168,4 +168,19 @@ def normalize_files(files: DataFrame) -> DataFrame:
         F.when(F.col("dir2").isNotNull(), F.length(F.col("dir2")) == 1).alias(
             "dir2_is1"
         ),
+        # Long twins for the remaining equality-only comparator attributes —
+        # with these, every scalar in the scoring kernel's broadcast probe
+        # row is an 8-byte long (C11's postal prefix and C6's initial are
+        # hashed AFTER the substring, so the semantics stay "prefix
+        # equality" while the probe row sheds its last strings; the
+        # measured binder on single-host scaling is the resident probe-set
+        # size — BENCH/BASELINE.md memory-ceiling note).
+        F.when(
+            F.col("dir2").isNotNull(), F.xxhash64(F.substring(F.col("dir2"), 1, 1))
+        ).alias("dir2_init_h64"),
+        F.when(
+            F.col("stem").isNotNull(), F.xxhash64(F.substring(F.col("stem"), 1, 5))
+        ).alias("postal5_h64"),
+        _xx64("lang_norm").alias("lang_h64"),
+        F.xxhash64(F.substring(F.col("norm_sha"), 61, 4)).alias("ssn4_h64"),
     )

@@ -34,7 +34,7 @@ def main():
     from identity_matching_spark.operators.blocking import candidate_pairs
     from identity_matching_spark.operators.compare import (
         ATTR_COLS,
-        PHONETIC_COLS,
+        PHONETIC_H64_COLS,
         comparator_flags,
         enrich_phonetic,
         jw_stem_table,
@@ -60,7 +60,7 @@ def main():
     print(f"jwtab: {time.time()-t:.1f}s distinct_unequal_stem_pairs={n_jw}", flush=True)
 
     # --- sub-phase 2: attach both sides + flags, NO persist, count only
-    cols = ATTR_COLS + PHONETIC_COLS
+    cols = ATTR_COLS + PHONETIC_H64_COLS
     lhs = records.select([F.col(c).alias(f"l_{c}") for c in cols])
     rhs = records.select([F.col(c).alias(f"r_{c}") for c in cols])
     attached = (
