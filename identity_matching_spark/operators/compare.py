@@ -445,14 +445,14 @@ def compare_pairs_fuzzy(
     # Enrich only if the caller didn't already (pipelines enrich once at
     # normalize time — keeps this join side a plain relation, so Catalyst
     # can broadcast it when small instead of shuffling the huge pair list).
-    if "cologne_dir1" not in records.columns:
-        enriched = enrich_phonetic(records)
-    elif "cologne_h64" not in records.columns:
+    if "cologne_h64" in records.columns:
+        enriched = records
+    elif "cologne_dir1" in records.columns:
         # phonetic codes present but not their twins (e.g. a relation
         # persisted before the all-long probe schema): derive twins only
         enriched = _phonetic_twins(records)
     else:
-        enriched = records
+        enriched = enrich_phonetic(records)
     cols = ATTR_COLS + PHONETIC_H64_COLS
     # Two O(1) counts drive every join choice below (same pattern as the
     # CC convergence check) — AQE would only downgrade an exchange after
