@@ -98,16 +98,18 @@ def prepare_scoring_inputs(spark, n_entities: int):
     from identity_matching_spark.operators.compare import ATTR_COLS
     from identity_matching_spark.operators.normalize import normalize_files
 
-    # v3: all-long ATTR_COLS probe schema (postal5/lang/ssn4/initial and
-    # phonetic twins) — versioned so a pre-rework cached relation is never
-    # fed to the new kernel. stem's string rides along ONLY for the
-    # distinct-stem-pair (JW) table build; the kernel scan prunes it.
-    rec_path = f"/tmp/ims_bench_records_v3_{n_entities}.parquet"
-    # v3: pair list range-clustered by left_rid64 so consecutive kernel
-    # rows probe the same left record (cache-resident probe locality —
-    # blocked pair lists are naturally clustered this way in production;
-    # repartition() was destroying that structure)
-    pair_path = f"/tmp/ims_bench_pairs_v3_{n_entities}.parquet"
+    # v4: all-long ATTR_COLS probe schema (postal5/lang/ssn4/initial and
+    # phonetic twins) + DENSE record ids (didx) — versioned so a
+    # pre-rework cached relation is never fed to the new kernel. stem's
+    # string rides along ONLY for the distinct-stem-pair (JW) table
+    # build; the kernel scan prunes it.
+    rec_path = f"/tmp/ims_bench_records_v4_{n_entities}.parquet"
+    # v4: pair list carries didx twins and is range-clustered by
+    # left_didx, so consecutive kernel rows probe adjacent rows of the
+    # dense broadcast array (near-sequential row-page walk — blocked pair
+    # lists are naturally key-clustered in production; repartition() was
+    # destroying that structure)
+    pair_path = f"/tmp/ims_bench_pairs_v4_{n_entities}.parquet"
     if not (
         os.path.exists(os.path.join(rec_path, "_SUCCESS"))
         and os.path.exists(os.path.join(pair_path, "_SUCCESS"))
@@ -122,17 +124,34 @@ def prepare_scoring_inputs(spark, n_entities: int):
             enrich_phonetic,
         )
 
+        from identity_matching_spark.operators.normalize import with_dense_ids
+
         files = spark.read.parquet(corpus_path)
-        records = enrich_phonetic(normalize_files(files))
-        records.select(*ATTR_COLS, "stem", *PHONETIC_H64_COLS).write.mode(
+        records = with_dense_ids(enrich_phonetic(normalize_files(files)))
+        records.select(*ATTR_COLS, "stem", "didx", *PHONETIC_H64_COLS).write.mode(
             "overwrite"
         ).parquet(rec_path)
+        recs = spark.read.parquet(rec_path)
         b = candidate_pairs(records, MatchConfig())
+        didx_map = recs.select("record_id", "didx")
+        pairs = (
+            b.pairs
+            .join(
+                F.broadcast(didx_map.select(F.col("record_id").alias("left_id"),
+                                            F.col("didx").alias("left_didx"))),
+                "left_id",
+            )
+            .join(
+                F.broadcast(didx_map.select(F.col("record_id").alias("right_id"),
+                                            F.col("didx").alias("right_didx"))),
+                "right_id",
+            )
+        )
         # 64 files: the scoring kernel is one shuffle-free codegen stage
         # over this scan, so its task count IS the file count — 4x the
         # widest bench parallelism keeps all cores busy through stragglers.
-        b.pairs.repartitionByRange(64, "left_rid64", "right_rid64").sortWithinPartitions(
-            "left_rid64", "right_rid64"
+        pairs.repartitionByRange(64, "left_didx", "right_didx").sortWithinPartitions(
+            "left_didx", "right_didx"
         ).write.mode("overwrite").parquet(pair_path)
     return rec_path, pair_path
 

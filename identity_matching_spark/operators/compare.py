@@ -125,26 +125,42 @@ def attach_sides(
         # BENCH/BASELINE.md memory-ceiling note). Column aliasing happens
         # AFTER each join via qualified refs, so no per-side projection
         # breaks the subtree identity. Plan-asserted in test_fuzzy.py.
-        rel = F.broadcast(records.select(
-            _rid64(F.col("record_id")).alias("rid64"),
-            *[F.col(c) for c in cols if c != "record_id"],
-        ))
-        lhs, rhs = rel.alias("_atl"), rel.alias("_atr")
         side_cols = [c for c in cols if c != "record_id"]
-        # Prefer the pair list's stored rid64 twins (blocking emits them):
-        # the probe keys then come straight off the scan — no per-pair
-        # conv(substring(id)) — and a consumer that prunes the string ids
-        # scans 16 B/pair instead of 130 B.
-        if "left_rid64" in pairs.columns:
+        # Key choice, best first:
+        # 1. DENSE ids (``didx`` on records + ``left_didx``/``right_didx``
+        #    on pairs, assigned by ``with_dense_ids``): Spark's
+        #    LongHashedRelation turns a dense long key space into a
+        #    direct-address array (LongToUnsafeRowMap dense mode) — each
+        #    probe is one indexed load instead of a hash-bucket walk, and
+        #    a pair list sorted by left_didx walks the row page near-
+        #    sequentially. This is the 100 TB shape: intern record ids to
+        #    dense longs once at the records table, carry them through
+        #    blocking.
+        # 2. stored rid64 twins (blocking emits them): probe keys straight
+        #    off the scan — no per-pair conv(substring(id)); sparse hash.
+        # 3. derive rid64 per pair from the string ids (compat).
+        if "left_didx" in pairs.columns and "didx" in records.columns:
+            key_expr = F.col("didx").cast("long").alias("rid64")
+            probed = pairs
+            lkey, rkey = F.col("left_didx"), F.col("right_didx")
+            out_cols = [
+                c for c in pairs.columns
+                if not c.endswith("_rid64") and not c.endswith("_didx")
+            ]
+        elif "left_rid64" in pairs.columns:
+            key_expr = _rid64(F.col("record_id")).alias("rid64")
             probed = pairs
             lkey, rkey = F.col("left_rid64"), F.col("right_rid64")
             out_cols = [c for c in pairs.columns if not c.endswith("_rid64")]
         else:
+            key_expr = _rid64(F.col("record_id")).alias("rid64")
             probed = pairs.withColumn("_lh64", _rid64(F.col("left_id"))).withColumn(
                 "_rh64", _rid64(F.col("right_id"))
             )
             lkey, rkey = F.col("_lh64"), F.col("_rh64")
             out_cols = pairs.columns
+        rel = F.broadcast(records.select(key_expr, *[F.col(c) for c in side_cols]))
+        lhs, rhs = rel.alias("_atl"), rel.alias("_atr")
         return (
             probed
             .join(lhs, lkey == F.col("_atl.rid64"), "inner")

@@ -83,6 +83,27 @@ H64_PAIRS = [
 ]
 
 
+def with_dense_ids(records: DataFrame) -> DataFrame:
+    """Intern record ids to DENSE longs: ``didx`` = rank of record_id.
+
+    Downstream joins keyed on didx hit Spark's LongHashedRelation dense
+    mode (direct-address array, one indexed load per probe) instead of a
+    sparse hash walk — the single biggest lever on the scoring kernel's
+    probe memory traffic. Deterministic: same records -> same didx.
+
+    This implementation is a global row_number (one single-partition sort
+    of the slim id column) — fine up to ~10^8 records; at 10^12 assign it
+    as per-partition offsets + local index over a range-partitioned id
+    sort (two linear passes), same contract.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy("record_id")
+    return records.withColumn(
+        "didx", (F.row_number().over(w) - F.lit(1)).cast("long")
+    )
+
+
 def normalize_files(files: DataFrame) -> DataFrame:
     """Derive the full comparator/blocking attribute set. One projection,
     no shuffle; keeps original (repo, path, commit, lang, content) so the

@@ -1,0 +1,56 @@
+"""Dense-id (didx) probe path: attach_sides keyed on interned dense longs
+must produce exactly the rows the rid64/string-id paths produce."""
+
+from pyspark.sql import functions as F
+
+from identity_matching_spark.operators.compare import compare_pairs
+from identity_matching_spark.operators.normalize import normalize_files, with_dense_ids
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_dense_ids_are_dense_and_deterministic(spark):
+    files = spark.createDataFrame(
+        [(f"r{i}", f"src/mod{i % 3}/f{i}.py", "c" * 40, "python", f"line {i}\nx")
+         for i in range(7)],
+        ["repo", "path", "commit", "lang", "content"],
+    )
+    recs = with_dense_ids(normalize_files(files))
+    got = recs.select("record_id", "didx").collect()
+    ids = sorted(r["record_id"] for r in got)
+    by_id = {r["record_id"]: r["didx"] for r in got}
+    assert sorted(by_id.values()) == list(range(7))
+    # rank order == record_id string order
+    assert [by_id[i] for i in ids] == list(range(7))
+
+
+def test_dense_attach_equals_string_attach(spark):
+    files = spark.createDataFrame(
+        [
+            ("r1", "src/io/smith.py", "a" * 40, "python", "alpha beta"),
+            ("r2", "src/io/smyth.py", "b" * 40, "python", "alpha beta delta"),
+            ("r3", "lib/db/runner.py", "c" * 40, "go", "other content"),
+        ],
+        ["repo", "path", "commit", "lang", "content"],
+    )
+    recs = with_dense_ids(normalize_files(files))
+    ids = sorted(r["record_id"] for r in recs.select("record_id").collect())
+    pairs = spark.createDataFrame(
+        [(ids[0], ids[1]), (ids[0], ids[2]), (ids[1], ids[2])],
+        ["left_id", "right_id"],
+    )
+    m = recs.select("record_id", "didx")
+    pairs_dense = (
+        pairs
+        .join(m.select(F.col("record_id").alias("left_id"),
+                       F.col("didx").alias("left_didx")), "left_id")
+        .join(m.select(F.col("record_id").alias("right_id"),
+                       F.col("didx").alias("right_didx")), "right_id")
+        .select("left_id", "right_id", "left_didx", "right_didx")
+    )
+    via_strings = compare_pairs(pairs, recs.drop("didx"))
+    via_dense = compare_pairs(pairs_dense, recs)
+    assert via_dense.columns == via_strings.columns
+    assert _rows(via_dense) == _rows(via_strings)
