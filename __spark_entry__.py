@@ -69,6 +69,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": Q.q_token_count,
         "ann_cosine": Q.q_ann_cosine,
         "ann_topk": Q.q_ann_topk,
+        # --- corpus preparation (operators/corpus_prep.py) ---
+        "split_assign": Q.q_split_assign,
+        "sample_stratified": Q.q_sample_stratified,
+        "decontaminate": Q.q_decontaminate,
+        "repetition_stats": Q.q_repetition_stats,
+        "text_normalize_nfc": Q.q_text_normalize_nfc,
+        "global_shuffle": Q.q_global_shuffle,
         # --- generic relational operators ---
         "agg_orders": Q.q_agg_orders,
         "region_revenue": Q.q_region_revenue,
@@ -281,6 +288,85 @@ def _lang_id_sql() -> str:
         WHEN c_fr >= c_zh THEN 'fr'
         ELSE 'zh' END AS pred_lang
     FROM c"""
+
+
+def _corpus_prep_sqls() -> dict[str, str]:
+    """Twins of operators/corpus_prep.py, generated from the SAME module
+    constants so thresholds/rates/mods cannot drift."""
+    from identity_matching_spark.operators import corpus_prep as CP
+
+    h_id = _H64.format(x="CAST(doc_id AS VARCHAR)")
+    h_strat = _H64.format(x="concat(CAST(doc_id AS VARCHAR), ':', lang)")
+    h_key = _H64.format(x=f"concat('42', ':', CAST(doc_id AS VARCHAR))")
+    lo, hi = CP.SPLIT_EDGES
+    rate_cases = " ".join(
+        f"WHEN '{k}' THEN {int(v * CP.RATE_DENOM)}"
+        for k, v in sorted(CP.DEFAULT_RATES.items())
+    )
+    n = CP.DECON_NGRAM
+    ctrl = CP._CTRL_RE
+    canon = (
+        "trim(regexp_replace(regexp_replace(nfc_normalize(text), "
+        f"'{ctrl}', '', 'g'), '\\s+', ' ', 'g'))"
+    )
+    return {
+        "split_assign": f"""WITH b AS (
+            SELECT doc_id, {h_id} % {CP.SPLIT_BUCKETS} AS bucket FROM documents)
+          SELECT doc_id, bucket,
+            CASE WHEN bucket < {lo} THEN 'train'
+                 WHEN bucket < {hi} THEN 'val' ELSE 'test' END AS split
+          FROM b""",
+        "sample_stratified": f"""SELECT doc_id, lang FROM (
+            SELECT doc_id, lang, {h_strat} % {CP.RATE_DENOM} AS h FROM documents)
+          WHERE h < CASE lang {rate_cases} ELSE 0 END""",
+        "decontaminate": f"""WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+          g AS (
+            SELECT doc_id,
+              CASE WHEN len(toks) >= {n}
+                THEN list_distinct([array_to_string(toks[i:i+{n - 1}], ' ')
+                                    for i in range(1, len(toks)-{n - 2})])
+                ELSE CAST([] AS VARCHAR[]) END AS grams
+            FROM t),
+          ev AS (SELECT DISTINCT unnest(grams) AS gram FROM g
+                 WHERE doc_id % {CP.EVAL_MOD} = 0),
+          tr AS (SELECT doc_id, unnest(grams) AS gram FROM g
+                 WHERE doc_id % {CP.EVAL_MOD} != 0)
+          SELECT doc_id, count(*) AS n_shared_ngrams
+          FROM tr JOIN ev USING (gram) GROUP BY 1""",
+        "repetition_stats": f"""WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+          g AS (
+            SELECT doc_id, toks, len(toks) AS n,
+              CASE WHEN len(toks) >= 2
+                THEN [array_to_string(toks[i:i+1], ' ') for i in range(1, len(toks))]
+                ELSE CAST([] AS VARCHAR[]) END AS g2
+            FROM t),
+          arr AS (
+            SELECT doc_id, n AS n_tokens,
+              CASE WHEN n > 0
+                THEN round(CAST(len(list_distinct(toks)) AS DOUBLE) / n, 4)
+                ELSE 0.0 END AS distinct_token_ratio,
+              CASE WHEN len(g2) > 0
+                THEN round(1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2), 4)
+                ELSE 0.0 END AS dup_2gram_fraction
+            FROM g),
+          tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+          c AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+          tp AS (SELECT doc_id,
+                        round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top_token_fraction
+                 FROM c GROUP BY 1)
+          SELECT a.doc_id, a.n_tokens, a.distinct_token_ratio, a.dup_2gram_fraction,
+                 COALESCE(tp.top_token_fraction, 0.0) AS top_token_fraction
+          FROM arr a LEFT JOIN tp USING (doc_id)""",
+        "text_normalize_nfc": f"""SELECT doc_id,
+            sha256({canon}) AS norm_sha,
+            length({canon}) AS n_chars_norm
+          FROM documents""",
+        "global_shuffle": f"""WITH k AS (
+            SELECT doc_id, {h_key} AS shuffle_key FROM documents)
+          SELECT doc_id, shuffle_key,
+            CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) - 1 AS BIGINT) AS position
+          FROM k""",
+    }
 
 
 def oracle_sql() -> dict[str, str]:
@@ -560,6 +646,7 @@ def oracle_sql() -> dict[str, str]:
                             ('fr','romance'),('zh','sinitic')) r(lang, lang_family)
             ON d.lang = r.lang
           GROUP BY 1""",
+        **_corpus_prep_sqls(),
     }
 
 

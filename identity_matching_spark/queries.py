@@ -933,3 +933,61 @@ def q_sessionize_stream(spark, sf_dir):
     from identity_matching_spark.streaming.sessions import closed_sessions_stream
 
     return closed_sessions_stream(spark, f"{sf_dir}/events.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Corpus-preparation operators (operators/corpus_prep.py) — the steps a
+# training-data pipeline runs between dedup and tokenization. All
+# portable-hash, all value-exact vs DuckDB.
+# ---------------------------------------------------------------------------
+
+
+def q_split_assign(spark, sf_dir):
+    """Deterministic train/val/test split: portable_hash(doc_id) % 1000
+    bucketed 900/50/50 — a pure projection, stable under re-partitioning
+    and re-crawls."""
+    from identity_matching_spark.operators.corpus_prep import split_assign
+
+    return split_assign(load_table(spark, sf_dir, "documents"))
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Per-language deterministic downsampling (corpus balancing): keep iff
+    portable_hash(doc_id ':' lang) % 10000 < rate*10000."""
+    from identity_matching_spark.operators.corpus_prep import sample_stratified
+
+    return sample_stratified(load_table(spark, sf_dir, "documents"))
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark-leakage scan: training docs sharing any word-3-gram with
+    the eval slice (doc_id % 37 = 0), with shared-n-gram counts. Eval
+    n-gram set broadcasts; the corpus side never shuffles."""
+    from identity_matching_spark.operators.corpus_prep import decontaminate
+
+    return decontaminate(load_table(spark, sf_dir, "documents"))
+
+
+def q_repetition_stats(spark, sf_dir):
+    """MassiveText-style repetition signals per doc: distinct-token ratio,
+    top-token fraction, duplicate-2-gram fraction."""
+    from identity_matching_spark.operators.corpus_prep import repetition_stats
+
+    return repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+def q_text_normalize_nfc(spark, sf_dir):
+    """Unicode canonicalization (NFC + control strip + ws collapse) via a
+    batched Arrow UDF; emits sha256 + length of the canonical text."""
+    from identity_matching_spark.operators.corpus_prep import normalize_text_nfc
+
+    return normalize_text_nfc(load_table(spark, sf_dir, "documents"))
+
+
+def q_global_shuffle(spark, sf_dir):
+    """Deterministic training order: global rank by seeded portable hash,
+    computed with the two-pass bucket-offset scheme (no single-task
+    window sort at any scale)."""
+    from identity_matching_spark.operators.corpus_prep import global_shuffle
+
+    return global_shuffle(load_table(spark, sf_dir, "documents"))
