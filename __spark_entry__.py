@@ -76,6 +76,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": Q.q_repetition_stats,
         "text_normalize_nfc": Q.q_text_normalize_nfc,
         "global_shuffle": Q.q_global_shuffle,
+        "redact_pii": Q.q_redact_pii,
+        "pack_sequences": Q.q_pack_sequences,
+        "corpus_mix": Q.q_corpus_mix,
         # --- generic relational operators ---
         "agg_orders": Q.q_agg_orders,
         "region_revenue": Q.q_region_revenue,
@@ -366,7 +369,56 @@ def _corpus_prep_sqls() -> dict[str, str]:
           SELECT doc_id, shuffle_key,
             CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) - 1 AS BIGINT) AS position
           FROM k""",
+        "redact_pii": _redact_pii_sql(CP.PII_PATTERNS),
+        "pack_sequences": f"""WITH t AS (
+            SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents),
+          c AS (
+            SELECT doc_id, n_tokens,
+              CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                AS tok_offset
+            FROM t)
+          SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, tok_offset,
+            tok_offset // {CP.SEQ_BUDGET} AS seq_first,
+            CASE WHEN n_tokens > 0
+                 THEN (tok_offset + n_tokens - 1) // {CP.SEQ_BUDGET}
+                 ELSE tok_offset // {CP.SEQ_BUDGET} END AS seq_last
+          FROM c""",
+        "corpus_mix": f"""WITH a AS (
+            SELECT source, lang, count(*) AS n_docs,
+                   CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY 1, 2)
+          SELECT source, lang, n_docs, n_tokens,
+            round(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (), 6) AS doc_share
+          FROM a""",
     }
+
+
+def _redact_pii_sql(patterns) -> str:
+    """Sequential redaction chain, generated from the SAME pattern list the
+    Spark operator uses: each kind's count is taken on the text state
+    before its own replacement, exactly as the Column chain does."""
+    ctes = ["s0 AS (SELECT doc_id, text AS t0 FROM documents)"]
+    count_cols = []
+    for i, (kind, pat, token) in enumerate(patterns):
+        prev, cur = f"t{i}", f"t{i + 1}"
+        carried = ", ".join(f"n_{k}" for k, _, _ in patterns[:i])
+        carried = carried + ", " if carried else ""
+        ctes.append(
+            f"""s{i + 1} AS (SELECT doc_id, {carried}
+              len(regexp_extract_all({prev}, '{pat}')) AS n_{kind},
+              regexp_replace({prev}, '{pat}', '{token}', 'g') AS {cur}
+            FROM s{i})"""
+        )
+        count_cols.append(f"n_{kind}")
+    last = f"t{len(patterns)}"
+    return (
+        "WITH " + ",\n ".join(ctes)
+        + f""" SELECT doc_id, {', '.join(count_cols)},
+            sha256({last}) AS redacted_sha,
+            length({last}) AS n_chars_redacted
+          FROM s{len(patterns)}"""
+    )
 
 
 def oracle_sql() -> dict[str, str]:

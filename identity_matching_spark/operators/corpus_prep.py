@@ -21,6 +21,18 @@ pipeline; these are the corpus-preparation steps such a pipeline runs at
                             a seeded hash, computed with the two-pass
                             range-partition + offset scheme (no global
                             window; scales to any row count).
+* ``redact_pii``          — email/SSN/phone/IPv4 scrubbing, pure Column
+                            regexp chain (patterns restricted to the
+                            Java∩RE2 dialect so the DuckDB twin is
+                            bit-exact); emits per-kind counts + the sha
+                            of the redacted text.
+* ``pack_sequences``      — training-batch assembly: concat-and-chunk
+                            packing offsets (GPT-style) per doc — global
+                            exclusive token cumsum in doc order via the
+                            same two-pass offset scheme, then window ids
+                            out of a fixed token budget.
+* ``corpus_mix``          — composition/governance report per
+                            (source, lang): docs, tokens, corpus share.
 
 Every hash here is the portable sha-based ``hash64_sha`` so the DuckDB
 twin is bit-exact; the xxhash64 fast path used by the dedup operators is
@@ -197,6 +209,137 @@ def repetition_stats(
         )
     )
     return arr_stats.join(top, id_col, "left").fillna({"top_token_fraction": 0.0})
+
+
+#: PII patterns, restricted to the dialect Java's regex and DuckDB's RE2
+#: share (no lookaround, no backrefs) so the twin replays them bit-exact.
+#: Applied IN ORDER, each count taken on the text state before its own
+#: replacement — both engines run the identical chain.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+#: fixed token budget per packed training sequence.
+SEQ_BUDGET = 2048
+
+
+def redact_pii(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """PII scrubbing (emails, SSNs, phone numbers, IPv4 addresses).
+
+    A pure Column regexp chain — one codegen'd projection, no shuffle, no
+    Python; the 100 TB shape is exactly this (the scan IS the cost).
+    Emits per-kind redaction counts and the sha256 of the scrubbed text,
+    so the content invariant of the redacted corpus is checkable the same
+    way as the raw one.
+    """
+    cur = F.col(text_col)
+    counts = []
+    for kind, pat, token in PII_PATTERNS:
+        counts.append(F.regexp_count(cur, F.lit(pat)).alias(f"n_{kind}"))
+        cur = F.regexp_replace(cur, pat, token)
+    return docs.select(
+        F.col(id_col),
+        *counts,
+        F.sha2(cur, 256).alias("redacted_sha"),
+        F.length(cur).alias("n_chars_redacted"),
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = SEQ_BUDGET,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Training-batch assembly offsets: concat-and-chunk packing.
+
+    GPT-style packing concatenates the token streams of all docs in a
+    fixed order and slices fixed-``budget`` windows; a doc's placement is
+    fully determined by the EXCLUSIVE cumulative token count before it.
+    Emits per doc: token count, that global offset, and the first/last
+    window ids it lands in (a doc may straddle a boundary).
+
+    A global ordered window would cumsum on ONE task; this reuses the
+    two-pass offset scheme of ``global_shuffle``: range-bucket by id
+    (pass 1 aggregates per-bucket token sums — O(buckets) on the driver),
+    pass 2 sorts within buckets and adds offset[bucket] + a running local
+    sum. Identical output to the single-window plan at any parallelism.
+    """
+    toks = _norm_tokens(F.col(text_col))
+    base = docs.select(F.col(id_col), F.size(toks).alias("n_tokens"))
+    lo_hi = base.agg(
+        F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
+    ).collect()[0]
+    spark = docs.sparkSession
+    n_buckets = max(2 * spark.sparkContext.defaultParallelism, 16)
+    span = int(lo_hi["hi"]) - int(lo_hi["lo"]) + 1 if lo_hi["hi"] is not None else 1
+    stride = max(1, (span + n_buckets - 1) // n_buckets)
+    keyed = base.withColumn(
+        "_bkt", ((F.col(id_col) - F.lit(int(lo_hi["lo"] or 0))) / F.lit(stride)).cast("long")
+    )
+    sums = keyed.groupBy("_bkt").agg(F.sum("n_tokens").alias("s")).collect()
+    offsets = {}
+    acc = 0
+    for row in sorted(sums, key=lambda r: r["_bkt"]):
+        offsets[int(row["_bkt"])] = acc
+        acc += int(row["s"])
+    parts = keyed.repartition(n_buckets, "_bkt").sortWithinPartitions("_bkt", id_col)
+    out_schema = T.StructType(
+        [
+            parts.schema[id_col],
+            T.StructField("n_tokens", T.IntegerType()),
+            T.StructField("tok_offset", T.LongType()),
+            T.StructField("seq_first", T.LongType()),
+            T.StructField("seq_last", T.LongType()),
+        ]
+    )
+
+    def _add_offsets(it):
+        run: dict[int, int] = {}
+        for pdf in it:
+            offs = [0] * len(pdf)
+            for i, (b, n) in enumerate(zip(pdf["_bkt"], pdf["n_tokens"])):
+                b = int(b)
+                cur = run.get(b, offsets.get(b, 0))
+                offs[i] = cur
+                run[b] = cur + int(n)
+            out = pdf[[id_col, "n_tokens"]].copy()
+            out["tok_offset"] = offs
+            out["seq_first"] = [o // budget for o in offs]
+            out["seq_last"] = [
+                (o + int(n) - 1) // budget if int(n) > 0 else o // budget
+                for o, n in zip(offs, pdf["n_tokens"])
+            ]
+            yield out
+
+    return parts.mapInPandas(_add_offsets, out_schema)
+
+
+def corpus_mix(
+    docs: DataFrame, by: tuple[str, ...] = ("source", "lang"), text_col: str = "text"
+) -> DataFrame:
+    """Corpus composition report per stratum (governance surface): doc
+    count, token sum, and each stratum's share of all docs. One map-side-
+    combined groupBy; the share window runs over the tiny aggregated
+    frame (|sources| x |langs| rows), never the corpus."""
+    from pyspark.sql import Window
+
+    toks = _norm_tokens(F.col(text_col))
+    agg = docs.groupBy(*by).agg(
+        F.count("*").alias("n_docs"), F.sum(F.size(toks)).alias("n_tokens")
+    )
+    total = F.sum("n_docs").over(Window.partitionBy())
+    return agg.select(
+        *by,
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_docs") / total, 6).alias("doc_share"),
+    )
 
 
 _CTRL_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"

@@ -991,3 +991,31 @@ def q_global_shuffle(spark, sf_dir):
     from identity_matching_spark.operators.corpus_prep import global_shuffle
 
     return global_shuffle(load_table(spark, sf_dir, "documents"))
+
+
+def q_redact_pii(spark, sf_dir):
+    """PII scrubbing: email/SSN/phone/IPv4 regexp chain (Java∩RE2 dialect
+    so the DuckDB twin replays it bit-exact); per-kind counts + sha256 of
+    the scrubbed text. Pure Column — one codegen'd projection."""
+    from identity_matching_spark.operators.corpus_prep import redact_pii
+
+    return redact_pii(load_table(spark, sf_dir, "documents"))
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Training-batch assembly: concat-and-chunk packing offsets per doc
+    (exclusive global token cumsum in doc order -> fixed-budget window
+    ids), computed with the two-pass bucket-offset scheme — no global
+    window sort at any scale."""
+    from identity_matching_spark.operators.corpus_prep import pack_sequences
+
+    return pack_sequences(load_table(spark, sf_dir, "documents"))
+
+
+def q_corpus_mix(spark, sf_dir):
+    """Corpus composition per (source, lang): docs, tokens, share of all
+    docs. Map-side-combined groupBy; the share window runs over the tiny
+    aggregated frame only."""
+    from identity_matching_spark.operators.corpus_prep import corpus_mix
+
+    return corpus_mix(load_table(spark, sf_dir, "documents"))

@@ -89,3 +89,77 @@ def test_repetition_stats_hand_case(spark):
     r2 = rows[2]
     assert r2["distinct_token_ratio"] == 1.0
     assert r2["dup_2gram_fraction"] == 0.0
+
+
+def test_redact_pii_hand_case(spark):
+    from identity_matching_spark.operators.corpus_prep import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@ex-ample.org or 555-123-4567"),
+            (2, "ssn 123-45-6789 from host 10.0.0.1"),
+            (3, "clean text, no identifiers here"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in redact_pii(docs).collect()}
+    assert rows[1]["n_email"] == 1 and rows[1]["n_phone"] == 1
+    assert rows[2]["n_ssn"] == 1 and rows[2]["n_ipv4"] == 1
+    assert rows[3]["n_email"] == rows[3]["n_ssn"] == 0
+    # redaction is a pure projection: no exchange in the plan
+    plan = redact_pii(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_redact_pii_sequential_counts(spark):
+    """An SSN-shaped string inside an email must be counted/redacted as
+    email (the chain runs email first), not double-counted."""
+    from identity_matching_spark.operators.corpus_prep import redact_pii
+
+    docs = spark.createDataFrame([(1, "report 123-45-6789@leak.example.com")],
+                                 ["doc_id", "text"])
+    r = redact_pii(docs).collect()[0]
+    assert r["n_email"] == 1
+    assert r["n_ssn"] == 0
+
+
+def test_pack_sequences_matches_single_window(spark):
+    from identity_matching_spark.operators.corpus_prep import pack_sequences
+
+    docs = load_table(spark, SF, "documents")
+    got = sorted(map(tuple, pack_sequences(docs, budget=64).collect()))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    toks = F.filter(
+        F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "),
+        lambda x: x != "",
+    )
+    base = docs.select("doc_id", F.size(toks).alias("n_tokens"))
+    want_df = base.withColumn(
+        "tok_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "tok_offset",
+        (F.col("tok_offset") / 64).cast("long").alias("seq_first"),
+        F.when(
+            F.col("n_tokens") > 0,
+            ((F.col("tok_offset") + F.col("n_tokens") - 1) / 64).cast("long"),
+        ).otherwise((F.col("tok_offset") / 64).cast("long")).alias("seq_last"),
+    )
+    want = sorted(map(tuple, want_df.collect()))
+    assert got == want
+    # offsets are a packing: contiguous, non-overlapping, gap-free
+    rows = sorted(pack_sequences(docs, budget=64).collect(), key=lambda r: r["tok_offset"])
+    acc = 0
+    for r in rows:
+        assert r["tok_offset"] == acc
+        acc += r["n_tokens"]
+
+
+def test_corpus_mix_shares_sum_to_one(spark):
+    from identity_matching_spark.operators.corpus_prep import corpus_mix
+
+    docs = load_table(spark, SF, "documents")
+    rows = corpus_mix(docs).collect()
+    assert abs(sum(r["doc_share"] for r in rows) - 1.0) < 1e-4
+    assert sum(r["n_docs"] for r in rows) == docs.count()

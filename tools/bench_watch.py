@@ -35,7 +35,7 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from bench_scaling import hw_calibration  # noqa: E402
+from bench_scaling import N_HI, N_LO, hw_calibration  # noqa: E402
 
 BENCH = os.path.join(REPO, "BENCH")
 HEADLINE = os.path.join(BENCH, "bench_scaling.json")
@@ -43,21 +43,25 @@ HEADLINE_MD = os.path.join(BENCH, "BASELINE.md")
 
 
 def probe() -> dict:
-    c4 = hw_calibration(4)
-    c16a = hw_calibration(16)
-    c16b = hw_calibration(16)
+    """Calibrate at the harness's OWN leg widths (N_LO/N_HI honour
+    SPARK_GRAFT_N_LO). A half-capacity host can still be perfectly stable
+    at low widths — probing hardcoded 4/16 used to reject windows where a
+    2->8 run would have been clean and self-consistent."""
+    c_lo = hw_calibration(N_LO)
+    c_hi_a = hw_calibration(N_HI)
+    c_hi_b = hw_calibration(N_HI)
     return {
-        "c4": round(c4, 1),
-        "c16": round(c16a, 1),
-        "stability": round(c16b / c16a, 3),
-        "ceiling": round(c16a / (4 * c4), 3),
+        "c_lo": round(c_lo, 1),
+        "c_hi": round(c_hi_a, 1),
+        "stability": round(c_hi_b / c_hi_a, 3),
+        "ceiling": round(c_hi_a / (4 * c_lo), 3),
         "load1": round(os.getloadavg()[0], 1),
     }
 
 
 def window_clean(p: dict, args) -> bool:
     return (
-        p["c16"] >= args.min_cap
+        p["c_hi"] >= args.min_cap
         and abs(p["stability"] - 1.0) <= args.stability
         and p["ceiling"] >= args.min_ceiling
     )
@@ -104,8 +108,9 @@ def run_accepted(args) -> bool:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.1")
-    ap.add_argument("--min-cap", type=float, default=76.0,
-                    help="min 16-proc units/s to consider the host clean")
+    ap.add_argument("--min-cap", type=float, default=76.0 * N_HI / 16,
+                    help="min N_HI-proc units/s to consider the host clean "
+                         "(default scales the 16-proc clean bar to N_HI)")
     ap.add_argument("--min-ceiling", type=float, default=0.90)
     ap.add_argument("--stability", type=float, default=0.04,
                     help="max |repeat-burn ratio - 1| in the pre-probe")
