@@ -87,6 +87,12 @@ class MatchConfig:
     # partial agg in one codegen pass. Above it, slim shuffle-hash id
     # joins (the plan an arbitrary-scale pair list needs).
     records_broadcast_limit: int = 1_000_000
+    # Intern record ids to dense longs (normalize.with_dense_ids) right
+    # after normalize: blocking then emits left_didx/right_didx pair twins
+    # and every scoring attach keys on dense longs (LongHashedRelation
+    # direct-address probes — the kernel-bench fast path, now the
+    # production path). Off = legacy sparse rid64 twins.
+    dense_ids: bool = True
     # --- input validation (P3-P6; IdentityMatching.java:519-560) ---
     # Records whose completeness tier ranks below this are dropped before
     # blocking: "NONE" | "BASE" | "L0" | "L1". The synthetic corpus is

@@ -89,9 +89,14 @@ def blocking_keys(records: DataFrame, config: MatchConfig) -> DataFrame:
                      F.lit("|"), F.col("size_bucket").cast("string")
                      ).alias("blocking_key")))
 
+    # Dense ids ride WITH the keyed rows when the records relation carries
+    # them (8 B/keyed row) so the pair join emits didx sides directly —
+    # re-attaching didx to 10^12-scale pair lists afterwards would cost
+    # two string-keyed shuffle joins.
+    extra = ["didx"] if "didx" in records.columns else []
     keyed = records.select(
-        "record_id", F.explode(F.array(*fams)).alias("k")
-    ).select("record_id", "k.family", "k.blocking_key")
+        "record_id", *extra, F.explode(F.array(*fams)).alias("k")
+    ).select("record_id", *extra, "k.family", "k.blocking_key")
 
     if "minhash_lsh" in f:
         # Staged projections so the signature materializes once per row —
@@ -99,6 +104,7 @@ def blocking_keys(records: DataFrame, config: MatchConfig) -> DataFrame:
         # next projection references multiple times (band slicing).
         sig_df = records.select(
             "record_id",
+            *extra,
             minhash_signature(
                 word_shingles(F.col("norm_content"), config.shingle_words),
                 config.minhash_perms,
@@ -107,6 +113,7 @@ def blocking_keys(records: DataFrame, config: MatchConfig) -> DataFrame:
         )
         mh = sig_df.select(
             "record_id",
+            *extra,
             F.lit("minhash_lsh").alias("family"),
             F.explode(
                 lsh_band_keys(
@@ -177,11 +184,17 @@ def candidate_pairs(records: DataFrame, config: MatchConfig) -> BlockingResult:
         "left",
     )
 
+    has_didx = "didx" in keyed.columns
+    extra = ["didx"] if has_didx else []
+    lpair_cols = [F.col("l.record_id").alias("left_id"), F.col("r.record_id").alias("right_id")]
+    if has_didx:
+        lpair_cols += [F.col("l.didx").alias("left_didx"), F.col("r.didx").alias("right_didx")]
+
     quad = keyed_sized.filter(
         F.col("is_star").isNull() & F.col("sub_k").isNull()
-    ).select("blocking_key", "record_id")
-    star = keyed_sized.filter(F.col("is_star") == True).select("blocking_key", "record_id")  # noqa: E712
-    hot_rows = keyed_sized.filter(F.col("is_hot") == True).select("blocking_key", "record_id")  # noqa: E712
+    ).select("blocking_key", "record_id", *extra)
+    star = keyed_sized.filter(F.col("is_star") == True).select("blocking_key", "record_id", *extra)  # noqa: E712
+    hot_rows = keyed_sized.filter(F.col("is_hot") == True).select("blocking_key", "record_id", *extra)  # noqa: E712
     sub_rows = keyed_sized.filter(F.col("sub_k").isNotNull()).select(
         F.concat(
             F.col("blocking_key"),
@@ -189,6 +202,7 @@ def candidate_pairs(records: DataFrame, config: MatchConfig) -> BlockingResult:
             F.pmod(F.xxhash64("record_id"), F.col("sub_k")).cast("string"),
         ).alias("blocking_key"),
         "record_id",
+        *extra,
     )
     # sub-blocks are ~cap-sized quadratic blocks — reuse the plain pair join
     quad = quad.unionByName(sub_rows)
@@ -197,7 +211,7 @@ def candidate_pairs(records: DataFrame, config: MatchConfig) -> BlockingResult:
     quad_pairs = (
         l.join(r, "blocking_key")
         .filter(F.col("l.record_id") < F.col("r.record_id"))
-        .select(F.col("l.record_id").alias("left_id"), F.col("r.record_id").alias("right_id"))
+        .select(*lpair_cols)
     )
 
     # Hot-key salting (SURVEY.md §4.1): keys below the cap but big enough to
@@ -207,48 +221,82 @@ def candidate_pairs(records: DataFrame, config: MatchConfig) -> BlockingResult:
     # n^2/2 pair generation then spreads over S tasks instead of one.
     # (AQE skew-join stays on as backstop for everything else.)
     S = config.salt_buckets
+    l_didx = [F.col("didx").alias("ldidx")] if has_didx else []
+    r_didx = [F.col("didx").alias("rdidx")] if has_didx else []
+    hot_out = [F.col("lid").alias("left_id"), F.col("rid").alias("right_id")]
+    if has_didx:
+        hot_out += [F.col("ldidx").alias("left_didx"), F.col("rdidx").alias("right_didx")]
     salted_l = hot_rows.select(
         "blocking_key",
         F.col("record_id").alias("lid"),
+        *l_didx,
         F.pmod(F.xxhash64("record_id"), F.lit(S)).cast("int").alias("salt"),
     )
     salted_r = hot_rows.select(
         "blocking_key",
         F.col("record_id").alias("rid"),
+        *r_didx,
         F.explode(F.sequence(F.lit(0).cast("int"), F.lit(S - 1).cast("int"))).alias("salt"),
     )
     hot_pairs = (
         salted_l.join(salted_r, ["blocking_key", "salt"])
         .filter(F.col("lid") < F.col("rid"))
-        .select(F.col("lid").alias("left_id"), F.col("rid").alias("right_id"))
+        .select(*hot_out)
     )
     quad_pairs = quad_pairs.unionByName(hot_pairs)
 
     # Star expansion: hub = min(record_id) per oversized identity block.
-    hubs = star.groupBy("blocking_key").agg(F.min("record_id").alias("hub"))
-    star_pairs = (
-        star.join(hubs, "blocking_key")
-        .filter(F.col("record_id") != F.col("hub"))
-        .select(F.col("hub").alias("left_id"), F.col("record_id").alias("right_id"))
-    )
-
-    # 8-byte rid64 twins ride WITH the pair list (projected after the
-    # dedup shuffle, so they cost nothing to produce): the scoring
-    # kernel's broadcast probes join on these longs, and when a consumer
-    # prunes the string ids (the kernel's hash-agg does) the pair scan
-    # reads 16 B/pair instead of two 64-char ids — at 10^12-file scale
-    # the pair list is the biggest relation in the system, so its scan
-    # width is first-order DRAM traffic.
-    from identity_matching_spark.operators.compare import _rid64
-
-    pairs = (
-        quad_pairs.unionByName(star_pairs)
-        .dropDuplicates(["left_id", "right_id"])
-        .select(
-            "left_id",
-            "right_id",
-            _rid64(F.col("left_id")).alias("left_rid64"),
-            _rid64(F.col("right_id")).alias("right_rid64"),
+    # With dense ids the hub's didx rides in the min-struct (record_id
+    # leads the struct, so the argmin is unchanged: ids are unique).
+    if has_didx:
+        hubs = star.groupBy("blocking_key").agg(
+            F.min(F.struct("record_id", "didx")).alias("h")
+        ).select("blocking_key", F.col("h.record_id").alias("hub"), F.col("h.didx").alias("hub_didx"))
+        star_pairs = (
+            star.join(hubs, "blocking_key")
+            .filter(F.col("record_id") != F.col("hub"))
+            .select(
+                F.col("hub").alias("left_id"),
+                F.col("record_id").alias("right_id"),
+                F.col("hub_didx").alias("left_didx"),
+                F.col("didx").alias("right_didx"),
+            )
         )
-    )
+    else:
+        hubs = star.groupBy("blocking_key").agg(F.min("record_id").alias("hub"))
+        star_pairs = (
+            star.join(hubs, "blocking_key")
+            .filter(F.col("record_id") != F.col("hub"))
+            .select(F.col("hub").alias("left_id"), F.col("record_id").alias("right_id"))
+        )
+
+    # 8-byte key twins ride WITH the pair list (projected after the dedup
+    # shuffle, so they cost nothing to produce): the scoring kernel's
+    # broadcast probes join on these longs, and when a consumer prunes
+    # the string ids (the kernel's hash-agg does) the pair scan reads
+    # 16 B/pair instead of two 64-char ids — at 10^12-file scale the pair
+    # list is the biggest relation in the system, so its scan width is
+    # first-order DRAM traffic. When the records relation carries DENSE
+    # ids the twins are left_didx/right_didx (LongHashedRelation dense
+    # mode downstream — attach_sides key tier 1); otherwise the sparse
+    # rid64 sha-prefix twins (tier 2).
+    if has_didx:
+        pairs = (
+            quad_pairs.unionByName(star_pairs)
+            .dropDuplicates(["left_id", "right_id"])
+            .select("left_id", "right_id", "left_didx", "right_didx")
+        )
+    else:
+        from identity_matching_spark.operators.compare import _rid64
+
+        pairs = (
+            quad_pairs.unionByName(star_pairs)
+            .dropDuplicates(["left_id", "right_id"])
+            .select(
+                "left_id",
+                "right_id",
+                _rid64(F.col("left_id")).alias("left_rid64"),
+                _rid64(F.col("right_id")).alias("right_rid64"),
+            )
+        )
     return BlockingResult(pairs=pairs, block_stats=block_stats)

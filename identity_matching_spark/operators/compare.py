@@ -171,6 +171,21 @@ def attach_sides(
                 *[F.col(f"_atr.{c}").alias(f"r_{c}") for c in side_cols],
             )
         )
+    if "left_didx" in pairs.columns and "didx" in records.columns:
+        # Arbitrary-scale arm with dense ids: the two slim exchanges key on
+        # 8-byte longs instead of 64-char id strings — same plan shape,
+        # ~8x less shuffle key bandwidth and long-vs-string hash probes.
+        lhs = records.select(
+            F.col("didx").alias("_ld"), *[F.col(c).alias(f"l_{c}") for c in cols]
+        ).hint("shuffle_hash")
+        rhs = records.select(
+            F.col("didx").alias("_rd"), *[F.col(c).alias(f"r_{c}") for c in cols]
+        ).hint("shuffle_hash")
+        return (
+            pairs.join(lhs, F.col("left_didx") == F.col("_ld"), "inner")
+            .join(rhs, F.col("right_didx") == F.col("_rd"), "inner")
+            .drop("_ld", "_rd", "left_didx", "right_didx", "l_record_id", "r_record_id")
+        )
     attrs = records.select(*cols)
     lhs = attrs.select([F.col(c).alias(f"l_{c}") for c in cols]).hint("shuffle_hash")
     rhs = attrs.select([F.col(c).alias(f"r_{c}") for c in cols]).hint("shuffle_hash")
@@ -382,7 +397,24 @@ def jw_stem_table(
     stems = records.select("record_id", "stem")
     if n_records is None:
         n_records = records.count()
-    if "left_rid64" in pairs.columns:
+    if "left_didx" in pairs.columns and "didx" in records.columns:
+        # dense-id pair lists: stem maps keyed on didx — probes hit the
+        # dense long hash relation, no id-string hashing on this scan
+        l = _records_side(
+            records.select(F.col("didx").alias("left_didx"),
+                           F.col("stem").alias("_sl")),
+            n_records, RECORDS_BROADCAST_LIMIT,
+        )
+        r = _records_side(
+            records.select(F.col("didx").alias("right_didx"),
+                           F.col("stem").alias("_sr")),
+            n_records, RECORDS_BROADCAST_LIMIT,
+        )
+        joined = (
+            pairs.select("left_didx", "right_didx")
+            .join(l, "left_didx").join(r, "right_didx")
+        )
+    elif "left_rid64" in pairs.columns:
         # pair lists from blocking carry 8-byte rid64 twins — key the stem
         # maps on those so this scan never hashes 64-char id strings
         l = _records_side(

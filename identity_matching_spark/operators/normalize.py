@@ -83,7 +83,17 @@ H64_PAIRS = [
 ]
 
 
-def with_dense_ids(records: DataFrame) -> DataFrame:
+#: id-map row count under which the didx join-back BROADCASTS the slim
+#: (record_id, didx) map (~72 B/row -> ~70 MB at the default) so the wide
+#: records relation never shuffles; above it the map shuffle-hash joins.
+DENSE_ID_BROADCAST_LIMIT = 1_000_000
+
+
+def with_dense_ids(
+    records: DataFrame,
+    prefix_nibbles: int = 2,
+    broadcast_limit: int = DENSE_ID_BROADCAST_LIMIT,
+) -> DataFrame:
     """Intern record ids to DENSE longs: ``didx`` = rank of record_id.
 
     Downstream joins keyed on didx hit Spark's LongHashedRelation dense
@@ -91,17 +101,49 @@ def with_dense_ids(records: DataFrame) -> DataFrame:
     sparse hash walk — the single biggest lever on the scoring kernel's
     probe memory traffic. Deterministic: same records -> same didx.
 
-    This implementation is a global row_number (one single-partition sort
-    of the slim id column) — fine up to ~10^8 records; at 10^12 assign it
-    as per-partition offsets + local index over a range-partitioned id
-    sort (two linear passes), same contract.
+    Scale shape (no global window — a single-partition sort of 10^12 ids
+    is a non-starter): record_id is fixed-width lowercase sha-hex, so its
+    lexicographic order equals the numeric order of any hex prefix. Two
+    linear passes over the SLIM id column:
+
+    1. count rows per ``16^prefix_nibbles`` order-preserving prefix
+       buckets (one map-side-combined groupBy -> 256 rows to the driver
+       at the default; use 4 nibbles = 65k buckets at 10^12 rows), prefix
+       offsets = exclusive cumsum — O(buckets) driver work;
+    2. rank WITHIN each bucket (hash-partitioned window, never
+       SinglePartition); didx = bucket offset + local rank.
+
+    The id->didx map then joins back: broadcast below ``broadcast_limit``
+    (the wide records relation never moves), shuffle-hash above it (two
+    slim exchanges — the unavoidable arbitrary-scale plan).
     """
     from pyspark.sql import Window
 
-    w = Window.orderBy("record_id")
-    return records.withColumn(
-        "didx", (F.row_number().over(w) - F.lit(1)).cast("long")
+    if "didx" in records.columns:  # already interned — idempotent
+        return records
+    bucket = F.conv(F.substring("record_id", 1, prefix_nibbles), 16, 10).cast("long")
+    slim = records.select("record_id", bucket.alias("_bkt"))
+    counts = slim.groupBy("_bkt").count().collect()
+    offsets, acc = [], 0
+    for row in sorted(counts, key=lambda r: r["_bkt"]):
+        offsets.append((int(row["_bkt"]), acc))
+        acc += int(row["count"])
+    off_df = records.sparkSession.createDataFrame(
+        offsets, "_bkt long, _off long"
     )
+    w = Window.partitionBy("_bkt").orderBy("record_id")
+    idmap = (
+        slim.join(F.broadcast(off_df), "_bkt")
+        .select(
+            "record_id",
+            (F.col("_off") + F.row_number().over(w) - F.lit(1)).cast("long").alias("didx"),
+        )
+    )
+    if acc <= broadcast_limit:
+        idmap = F.broadcast(idmap)
+    else:
+        idmap = idmap.hint("shuffle_hash")
+    return records.join(idmap, "record_id")
 
 
 def normalize_files(files: DataFrame) -> DataFrame:

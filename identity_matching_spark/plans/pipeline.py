@@ -86,6 +86,13 @@ def run_pipeline(files: DataFrame, config: MatchConfig | None = None) -> Pipelin
     # persist so the normalize projection (sha256-heavy) and the phonetic
     # pandas UDFs run once, linearly, before any pair fan-out.
     records = validation_gate(normalize_files(files), config)
+    if config.dense_ids:
+        from identity_matching_spark.operators.normalize import with_dense_ids
+
+        # Dense-id interning (two slim passes + broadcast join-back): the
+        # scoring attach then probes a direct-address long map per pair —
+        # the measured kernel fast path — instead of a sparse hash walk.
+        records = with_dense_ids(records)
     if config.enable_fuzzy:
         from identity_matching_spark.operators.compare import enrich_phonetic
 

@@ -54,3 +54,39 @@ def test_dense_attach_equals_string_attach(spark):
     via_dense = compare_pairs(pairs_dense, recs)
     assert via_dense.columns == via_strings.columns
     assert _rows(via_dense) == _rows(via_strings)
+
+
+def test_production_blocking_carries_didx(spark):
+    """candidate_pairs must emit left_didx/right_didx when the records
+    relation carries didx, so the production scoring attach takes the
+    dense-id probe path (the same path the kernel bench measures)."""
+    from identity_matching_spark.config import MatchConfig
+    from identity_matching_spark.operators.blocking import candidate_pairs
+
+    files = spark.createDataFrame(
+        [(f"r{i}", f"src/m{i % 2}/same.py", "c" * 40, "python", "shared body")
+         for i in range(6)],
+        ["repo", "path", "commit", "lang", "content"],
+    )
+    recs = with_dense_ids(normalize_files(files))
+    res = candidate_pairs(recs, MatchConfig())
+    assert {"left_didx", "right_didx"} <= set(res.pairs.columns)
+    by_id = {r["record_id"]: r["didx"] for r in recs.select("record_id", "didx").collect()}
+    for row in res.pairs.collect():
+        assert row["left_didx"] == by_id[row["left_id"]]
+        assert row["right_didx"] == by_id[row["right_id"]]
+    # didx-less records keep the slim rid64-only pair schema
+    res2 = candidate_pairs(recs.drop("didx"), MatchConfig())
+    assert "left_didx" not in res2.pairs.columns
+
+
+def test_with_dense_ids_scales_without_global_window(spark):
+    """The rank assignment must not plan a single-partition global window:
+    order-preserving bucket ranks + offsets only."""
+    files = spark.createDataFrame(
+        [(f"r{i}", f"p{i}.py", "c" * 40, "python", f"body {i}") for i in range(50)],
+        ["repo", "path", "commit", "lang", "content"],
+    )
+    recs = with_dense_ids(normalize_files(files))
+    plan = recs._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
