@@ -133,20 +133,24 @@ def prepare_scoring_inputs(spark, n_entities: int):
         ).parquet(rec_path)
         recs = spark.read.parquet(rec_path)
         b = candidate_pairs(records, MatchConfig())
-        didx_map = recs.select("record_id", "didx")
-        pairs = (
-            b.pairs
-            .join(
-                F.broadcast(didx_map.select(F.col("record_id").alias("left_id"),
-                                            F.col("didx").alias("left_didx"))),
-                "left_id",
+        pairs = b.pairs
+        if "left_didx" not in pairs.columns:
+            # legacy pair schema (blocking now emits didx twins itself when
+            # the records relation carries didx — the production path)
+            didx_map = recs.select("record_id", "didx")
+            pairs = (
+                pairs
+                .join(
+                    F.broadcast(didx_map.select(F.col("record_id").alias("left_id"),
+                                                F.col("didx").alias("left_didx"))),
+                    "left_id",
+                )
+                .join(
+                    F.broadcast(didx_map.select(F.col("record_id").alias("right_id"),
+                                                F.col("didx").alias("right_didx"))),
+                    "right_id",
+                )
             )
-            .join(
-                F.broadcast(didx_map.select(F.col("record_id").alias("right_id"),
-                                            F.col("didx").alias("right_didx"))),
-                "right_id",
-            )
-        )
         # 64 files: the scoring kernel is one shuffle-free codegen stage
         # over this scan, so its task count IS the file count — 4x the
         # widest bench parallelism keeps all cores busy through stragglers.
