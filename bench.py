@@ -236,40 +236,62 @@ def main():
 
     spark = build_session("bench", cpus=cpus)
 
-    wall, pairs_scored, n_clusters, n_rows = run_headline(spark, n_entities)
-    kwall, kpairs = run_scoring_kernel(spark, n_entities)
-
-    # headline operator queries over the driver-provided tables.
-    # Drop pipeline/kernel persisted blocks first: query wall times must
-    # measure the query, not eviction churn against leftover cache.
-    spark.catalog.clearCache()
-
-    import __spark_entry__ as entry
-
-    qs = entry.queries()
-    qtimes = {}
-    for name in ("scored_pairs", "clusters", "dedup_exact", "minhash_lsh_portable",
-                 "ann_topk", "agg_orders", "region_revenue"):
-        t = time.time()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        qtimes[name] = round(time.time() - t, 3)
+    # Section gating (SPARK_GRAFT_SECTIONS = all | kernel | e2e): the
+    # scaling harness runs the kernel legs of BOTH widths back-to-back in
+    # one short matched window (the north-rule metric needs a drift-free
+    # comparison far more than it needs to share a JVM with the e2e run),
+    # then the e2e legs as their own section. Default "all" = the
+    # original single-process bench.
+    sections = os.environ.get("SPARK_GRAFT_SECTIONS", "all")
 
     out = {
         "metric": "e2e_pipeline_sec",
-        "value": round(wall, 3),
         "unit": "sec",
-        "queries": qtimes,
         "sf": sf,
-        "corpus_rows": n_rows,
-        "pairs_scored": pairs_scored,
-        "pairs_per_sec": round(pairs_scored / wall, 1) if wall > 0 else None,
-        "kernel_sec": round(kwall, 3),
-        "kernel_pairs": kpairs,
-        "kernel_pairs_per_sec": round(kpairs / kwall, 1) if kwall > 0 else None,
-        "n_clusters": n_clusters,
         "cpus": cpus,
         "cal_units_per_sec": round(cal, 1),
+        "sections": sections,
     }
+
+    if sections in ("all", "e2e"):
+        wall, pairs_scored, n_clusters, n_rows = run_headline(spark, n_entities)
+        out.update(
+            value=round(wall, 3),
+            corpus_rows=n_rows,
+            pairs_scored=pairs_scored,
+            pairs_per_sec=round(pairs_scored / wall, 1) if wall > 0 else None,
+            n_clusters=n_clusters,
+        )
+    if sections in ("all", "kernel"):
+        if sections == "kernel":
+            # in "all" mode run_headline already warmed the UDF worker
+            # pool; kernel-only legs must pay that cost OUTSIDE the
+            # timed window too
+            warmup(spark)
+        kwall, kpairs = run_scoring_kernel(spark, n_entities)
+        out.update(
+            kernel_sec=round(kwall, 3),
+            kernel_pairs=kpairs,
+            kernel_pairs_per_sec=round(kpairs / kwall, 1) if kwall > 0 else None,
+        )
+
+    if sections in ("all", "e2e"):
+        # headline operator queries over the driver-provided tables.
+        # Drop pipeline/kernel persisted blocks first: query wall times must
+        # measure the query, not eviction churn against leftover cache.
+        spark.catalog.clearCache()
+
+        import __spark_entry__ as entry
+
+        qs = entry.queries()
+        qtimes = {}
+        for name in ("scored_pairs", "clusters", "dedup_exact", "minhash_lsh_portable",
+                     "ann_topk", "agg_orders", "region_revenue"):
+            t = time.time()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            qtimes[name] = round(time.time() - t, 3)
+        out["queries"] = qtimes
+
     print(json.dumps(out))
     spark.stop()
 

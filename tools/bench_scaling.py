@@ -78,8 +78,9 @@ def mem_calibration(procs: int, units: int = 3, work: int = 40) -> float:
     return procs * units / (time.time() - t0)
 
 
-def run_bench(cpus: int, sf_dir: str) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=sf_dir)
+def run_bench(cpus: int, sf_dir: str, sections: str = "all") -> dict:
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=sf_dir,
+               SPARK_GRAFT_SECTIONS=sections)
     t0 = time.time()
     cmd = [sys.executable, os.path.join(REPO, "bench.py")]
     if os.path.exists("/usr/bin/taskset"):
@@ -98,21 +99,41 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
-    # The host is tenant-oversubscribed and its capacity DRIFTS between
-    # the two legs (minutes apart). Calibrate at BOTH widths immediately
-    # before EACH leg so the ceiling reflects what the hardware gave that
-    # leg, and report a drift indicator alongside the raw efficiency.
-    cal_before_lo = {str(N_LO): hw_calibration(N_LO), str(N_HI): hw_calibration(N_HI)}
-    mem_before_lo = {str(N_LO): mem_calibration(N_LO), str(N_HI): mem_calibration(N_HI)}
-    r_lo = run_bench(N_LO, sf_dir)
-    cal_before_hi = {str(N_LO): hw_calibration(N_LO), str(N_HI): hw_calibration(N_HI)}
-    mem_before_hi = {str(N_LO): mem_calibration(N_LO), str(N_HI): mem_calibration(N_HI)}
-    r_hi = run_bench(N_HI, sf_dir)
-    hw_lo = cal_before_lo[str(N_LO)]          # capacity the lo leg saw
-    hw_hi = cal_before_hi[str(N_HI)]          # capacity the hi leg saw
+    # The host is tenant-oversubscribed and its capacity DRIFTS on
+    # ~20-minute timescales — shorter than one full lo+hi sweep, which is
+    # why whole-run drift kept invalidating otherwise-clean measurements.
+    # So the harness is SECTIONED: the scoring-kernel legs (the
+    # north-rule metric) run back-to-back in one short matched window
+    # (~15 min at 2->8) bracketed by calibration burns, then the longer
+    # e2e legs run as their own section with their own drift stamp. The
+    # headline ceiling/drift gates below refer to the KERNEL window; the
+    # e2e window's stamps are reported alongside.
+    cal_k = {str(N_LO): hw_calibration(N_LO), str(N_HI): hw_calibration(N_HI)}
+    mem_k = {str(N_LO): mem_calibration(N_LO), str(N_HI): mem_calibration(N_HI)}
+    k_lo = run_bench(N_LO, sf_dir, sections="kernel")
+    k_hi = run_bench(N_HI, sf_dir, sections="kernel")
+    cal_k_end = hw_calibration(N_HI)
+
+    cal_e = {str(N_LO): hw_calibration(N_LO), str(N_HI): hw_calibration(N_HI)}
+    e_lo = run_bench(N_LO, sf_dir, sections="e2e")
+    e_hi = run_bench(N_HI, sf_dir, sections="e2e")
+    cal_e_end = hw_calibration(N_HI)
+
+    def merge(e_leg: dict, k_leg: dict) -> dict:
+        r = dict(e_leg)
+        r.update({k: v for k, v in k_leg.items() if k.startswith("kernel")})
+        r["kernel_cal_units_per_sec"] = k_leg["cal_units_per_sec"]
+        r["kernel_subprocess_sec"] = k_leg["subprocess_sec"]
+        return r
+
+    r_lo, r_hi = merge(e_lo, k_lo), merge(e_hi, k_hi)
+    hw_lo = cal_k[str(N_LO)]                  # capacity the kernel window saw
+    hw_hi = cal_k[str(N_HI)]
     hw_eff = hw_hi / (4 * hw_lo)
-    mem_eff = mem_before_hi[str(N_HI)] / (4 * mem_before_lo[str(N_LO)])
-    drift = cal_before_hi[str(N_HI)] / cal_before_lo[str(N_HI)]
+    mem_eff = mem_k[str(N_HI)] / (4 * mem_k[str(N_LO)])
+    drift = cal_k_end / cal_k[str(N_HI)]      # across BOTH kernel legs
+    drift_e2e = cal_e_end / cal_e[str(N_HI)]  # across both e2e legs
+    hw_eff_e2e = cal_e[str(N_HI)] / (4 * cal_e[str(N_LO)])
     eff_kernel = r_hi["kernel_pairs_per_sec"] / (4 * r_lo["kernel_pairs_per_sec"])
     eff_e2e = r_hi["pairs_per_sec"] / (4 * r_lo["pairs_per_sec"])
     result = {
@@ -121,16 +142,19 @@ def main():
         "scaling_efficiency": round(eff_kernel, 3),
         "scaling_efficiency_e2e": round(eff_e2e, 3),
         "hw_calibration_units_per_sec": {
-            "before_lo_leg": {k: round(v, 1) for k, v in cal_before_lo.items()},
-            "before_hi_leg": {k: round(v, 1) for k, v in cal_before_hi.items()},
+            "kernel_window_start": {k: round(v, 1) for k, v in cal_k.items()},
+            "kernel_window_end_hi": round(cal_k_end, 1),
+            "e2e_window_start": {k: round(v, 1) for k, v in cal_e.items()},
+            "e2e_window_end_hi": round(cal_e_end, 1),
         },
         "mem_calibration_units_per_sec": {
-            "before_lo_leg": {k: round(v, 2) for k, v in mem_before_lo.items()},
-            "before_hi_leg": {k: round(v, 2) for k, v in mem_before_hi.items()},
+            "kernel_window": {k: round(v, 2) for k, v in mem_k.items()},
         },
         "hw_ceiling_efficiency": round(hw_eff, 3),
+        "hw_ceiling_efficiency_e2e_window": round(hw_eff_e2e, 3),
         "mem_ceiling_efficiency": round(mem_eff, 3),
         "host_drift_between_legs": round(drift, 3),
+        "host_drift_e2e_window": round(drift_e2e, 3),
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "bench_scaling.json"), "w") as fh:
@@ -143,20 +167,25 @@ parallelism levels (N={N_LO} and 4N={N_HI} cores), each run pinned with
 `taskset` so JVM task threads and Python UDF workers together get
 exactly that many cores. Single host, separate JVM per run.
 
-**Hardware note:** two calibration burns run at both widths immediately
-before EACH leg — the host is tenant-oversubscribed and its capacity
-drifts between legs. The pure-CPU burn (tiny working set) saw
+**Hardware note:** the host is tenant-oversubscribed and its capacity
+drifts on ~20-minute timescales, so the harness is SECTIONED: the two
+scoring-kernel legs (the north-rule metric) run back-to-back inside one
+short matched window bracketed by calibration burns; the longer e2e
+legs run as their own window with their own stamps. In the kernel
+window the pure-CPU burn (tiny working set) saw
 {round(hw_lo,1)} units/s at {N_LO} procs vs {round(hw_hi,1)} at {N_HI} =
-{result['hw_ceiling_efficiency']} compute-ceiling efficiency. The
+{result['hw_ceiling_efficiency']} compute-ceiling efficiency, and the
+same-width {N_HI}-proc burn repeated after both legs drifted by
+{result['host_drift_between_legs']} (1.0 = perfectly stable). The
 memory-system burn ({N_HI}x128 MB random-access working sets — the shape
 of a broadcast-hash-probe kernel) scales to only
 {result['mem_ceiling_efficiency']} on this box: the shared L3/DRAM is
 what actually binds a probe-heavy kernel at {N_HI} threads on ONE host.
 On a real {N_LO}->{N_HI}-executor scale-out the memory system scales
 WITH the executors, so the memory ceiling is a single-host artifact —
-kernel efficiency should be read against it. Host drift between legs
-(same-width {N_HI}-proc CPU burn, hi/lo) =
-{result['host_drift_between_legs']}.
+kernel efficiency should be read against it. E2e window:
+compute-ceiling {result['hw_ceiling_efficiency_e2e_window']}, drift
+across both e2e legs {result['host_drift_e2e_window']}.
 
 ## Scoring throughput (the BASELINE.json metric)
 
