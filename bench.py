@@ -58,18 +58,31 @@ def warmup(spark):
     ).collect()
 
 
-def run_headline(spark, n_entities: int):
-    # Materialize the corpus as a parquet TABLE first (production shape:
-    # the pipeline reads a table, not a live generator expression). This
-    # also keeps the giant generator expression tree out of every
-    # downstream Catalyst/AQE re-plan — measured ~2s of single-threaded
-    # driver planning per stage otherwise.
-    corpus_path = f"/tmp/ims_bench_corpus_{n_entities}.parquet"
+def corpus_table(spark, n_entities: int) -> str:
+    """Materialize the corpus as a parquet TABLE first (production shape:
+    the pipeline reads a table, not a live generator expression). This
+    also keeps the giant generator expression tree out of every
+    downstream Catalyst/AQE re-plan — measured ~2s of single-threaded
+    driver planning per stage otherwise.
+
+    v2: written as 64 files. The generator's natural write produced TWO
+    parquet files (one row group each — unsplittable), which silently
+    capped the scan AND the records cache that inherits its partitioning
+    at 2-way parallelism: every scan-side stage (normalize sha-derive,
+    MinHash keying, the dense-id pass) then ran 2 tasks wide no matter
+    how many cores the leg had — the measured cap on e2e scaling. A real
+    corpus table is thousands of files; 64 ≈ 1 MB tasks keeps every
+    bench width saturated with negligible per-task overhead."""
+    corpus_path = f"/tmp/ims_bench_corpus_v2_{n_entities}.parquet"
     if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
-        generate_files(spark, n_entities).drop("entity_id").write.mode(
+        generate_files(spark, n_entities).drop("entity_id").repartition(64).write.mode(
             "overwrite"
         ).parquet(corpus_path)
-    files = spark.read.parquet(corpus_path)
+    return corpus_path
+
+
+def run_headline(spark, n_entities: int):
+    files = spark.read.parquet(corpus_table(spark, n_entities))
     n_rows = files.count()
     warmup(spark)
     t0 = time.time()
@@ -79,13 +92,19 @@ def run_headline(spark, n_entities: int):
     # the timed window still COMPUTES every reference output column
     # (nothing is pruned out of the run), it just never pays to cache
     # derived string arrays.
+    t1 = time.time()
     pairs_scored = res.scored_pairs.agg(
         F.count("*").alias("n"),
         F.sum(
             F.xxhash64(F.concat_ws("\x1f", F.col("match_messages"))).cast("decimal(38,0)")
         ).alias("mh"),
     ).collect()[0]["n"]
+    if os.environ.get("IMS_DEBUG_TIMING"):
+        print(f"[bench] messages_agg: {time.time() - t1:.1f}s", flush=True)
+    t1 = time.time()
     n_clusters = res.clusters.select("cluster_id").distinct().count()
+    if os.environ.get("IMS_DEBUG_TIMING"):
+        print(f"[bench] clusters_count: {time.time() - t1:.1f}s", flush=True)
     wall = time.time() - t0
     res.cleanup()  # outside the timed window; drops run-pinned cache blocks
     return wall, pairs_scored, n_clusters, n_rows
@@ -114,11 +133,7 @@ def prepare_scoring_inputs(spark, n_entities: int):
         os.path.exists(os.path.join(rec_path, "_SUCCESS"))
         and os.path.exists(os.path.join(pair_path, "_SUCCESS"))
     ):
-        corpus_path = f"/tmp/ims_bench_corpus_{n_entities}.parquet"
-        if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
-            generate_files(spark, n_entities).drop("entity_id").write.mode(
-                "overwrite"
-            ).parquet(corpus_path)
+        corpus_path = corpus_table(spark, n_entities)
         from identity_matching_spark.operators.compare import (
             PHONETIC_H64_COLS,
             enrich_phonetic,

@@ -132,8 +132,15 @@ class BlockingResult:
     block_stats: DataFrame  # (family, blocking_key, n_records, action) for oversized blocks
 
 
-def candidate_pairs(records: DataFrame, config: MatchConfig) -> BlockingResult:
-    """Union-of-families self-equi-join with guards; returns deduped pairs."""
+def candidate_pairs(
+    records: DataFrame, config: MatchConfig, n_records: int | None = None
+) -> BlockingResult:
+    """Union-of-families self-equi-join with guards; returns deduped pairs.
+
+    ``n_records`` (when the caller already knows it) gates whether the
+    dense-id regime's final string-id re-attach broadcasts the slim
+    id map or shuffle-hash joins it.
+    """
     from pyspark import StorageLevel
 
     # keyed feeds three consumers (size count + both join sides) — persist
@@ -185,24 +192,38 @@ def candidate_pairs(records: DataFrame, config: MatchConfig) -> BlockingResult:
     )
 
     has_didx = "didx" in keyed.columns
-    extra = ["didx"] if has_didx else []
-    lpair_cols = [F.col("l.record_id").alias("left_id"), F.col("r.record_id").alias("right_id")]
-    if has_didx:
-        lpair_cols += [F.col("l.didx").alias("left_didx"), F.col("r.didx").alias("right_didx")]
+    # In the dense-id regime the ENTIRE pair join runs in 8-byte longs:
+    # didx is the rank of record_id, so didx ordering IS record_id
+    # ordering (canonical left<right unchanged) and the string ids are
+    # re-attached ONCE after the dedup from the slim id map. The
+    # quadratic self-join and the dedup exchange — the two biggest
+    # shuffles in the system at 10^12 files — then move 8 B per side
+    # instead of a 64-char id. Salting/sub-salting keys stay derived
+    # from record_id so the emitted pair SET is bit-identical to the
+    # didx-less regime.
+    rid = "didx" if has_didx else "record_id"
+    lpair_cols = (
+        [F.col("l.didx").alias("left_didx"), F.col("r.didx").alias("right_didx")]
+        if has_didx
+        else [F.col("l.record_id").alias("left_id"), F.col("r.record_id").alias("right_id")]
+    )
 
     quad = keyed_sized.filter(
         F.col("is_star").isNull() & F.col("sub_k").isNull()
-    ).select("blocking_key", "record_id", *extra)
-    star = keyed_sized.filter(F.col("is_star") == True).select("blocking_key", "record_id", *extra)  # noqa: E712
-    hot_rows = keyed_sized.filter(F.col("is_hot") == True).select("blocking_key", "record_id", *extra)  # noqa: E712
+    ).select("blocking_key", rid)
+    star = keyed_sized.filter(F.col("is_star") == True).select("blocking_key", rid)  # noqa: E712
+    # hot rows keep record_id alongside: the salt assignment hashes it
+    # (bit-identical pair set across both regimes), then projects it away
+    hot_rows = keyed_sized.filter(F.col("is_hot") == True).select(  # noqa: E712
+        "blocking_key", "record_id", *(["didx"] if has_didx else [])
+    )
     sub_rows = keyed_sized.filter(F.col("sub_k").isNotNull()).select(
         F.concat(
             F.col("blocking_key"),
             F.lit("#"),
             F.pmod(F.xxhash64("record_id"), F.col("sub_k")).cast("string"),
         ).alias("blocking_key"),
-        "record_id",
-        *extra,
+        rid,
     )
     # sub-blocks are ~cap-sized quadratic blocks — reuse the plain pair join
     quad = quad.unionByName(sub_rows)
@@ -210,7 +231,7 @@ def candidate_pairs(records: DataFrame, config: MatchConfig) -> BlockingResult:
     l, r = quad.alias("l"), quad.alias("r")
     quad_pairs = (
         l.join(r, "blocking_key")
-        .filter(F.col("l.record_id") < F.col("r.record_id"))
+        .filter(F.col(f"l.{rid}") < F.col(f"r.{rid}"))
         .select(*lpair_cols)
     )
 
@@ -221,54 +242,32 @@ def candidate_pairs(records: DataFrame, config: MatchConfig) -> BlockingResult:
     # n^2/2 pair generation then spreads over S tasks instead of one.
     # (AQE skew-join stays on as backstop for everything else.)
     S = config.salt_buckets
-    l_didx = [F.col("didx").alias("ldidx")] if has_didx else []
-    r_didx = [F.col("didx").alias("rdidx")] if has_didx else []
-    hot_out = [F.col("lid").alias("left_id"), F.col("rid").alias("right_id")]
-    if has_didx:
-        hot_out += [F.col("ldidx").alias("left_didx"), F.col("rdidx").alias("right_didx")]
+    lname, rname = ("left_didx", "right_didx") if has_didx else ("left_id", "right_id")
     salted_l = hot_rows.select(
         "blocking_key",
-        F.col("record_id").alias("lid"),
-        *l_didx,
+        F.col(rid).alias("_l"),
         F.pmod(F.xxhash64("record_id"), F.lit(S)).cast("int").alias("salt"),
     )
     salted_r = hot_rows.select(
         "blocking_key",
-        F.col("record_id").alias("rid"),
-        *r_didx,
+        F.col(rid).alias("_r"),
         F.explode(F.sequence(F.lit(0).cast("int"), F.lit(S - 1).cast("int"))).alias("salt"),
     )
     hot_pairs = (
         salted_l.join(salted_r, ["blocking_key", "salt"])
-        .filter(F.col("lid") < F.col("rid"))
-        .select(*hot_out)
+        .filter(F.col("_l") < F.col("_r"))
+        .select(F.col("_l").alias(lname), F.col("_r").alias(rname))
     )
     quad_pairs = quad_pairs.unionByName(hot_pairs)
 
-    # Star expansion: hub = min(record_id) per oversized identity block.
-    # With dense ids the hub's didx rides in the min-struct (record_id
-    # leads the struct, so the argmin is unchanged: ids are unique).
-    if has_didx:
-        hubs = star.groupBy("blocking_key").agg(
-            F.min(F.struct("record_id", "didx")).alias("h")
-        ).select("blocking_key", F.col("h.record_id").alias("hub"), F.col("h.didx").alias("hub_didx"))
-        star_pairs = (
-            star.join(hubs, "blocking_key")
-            .filter(F.col("record_id") != F.col("hub"))
-            .select(
-                F.col("hub").alias("left_id"),
-                F.col("record_id").alias("right_id"),
-                F.col("hub_didx").alias("left_didx"),
-                F.col("didx").alias("right_didx"),
-            )
-        )
-    else:
-        hubs = star.groupBy("blocking_key").agg(F.min("record_id").alias("hub"))
-        star_pairs = (
-            star.join(hubs, "blocking_key")
-            .filter(F.col("record_id") != F.col("hub"))
-            .select(F.col("hub").alias("left_id"), F.col("record_id").alias("right_id"))
-        )
+    # Star expansion: hub = min(id) per oversized identity block (in the
+    # dense regime min didx IS min record_id — didx is its rank).
+    hubs = star.groupBy("blocking_key").agg(F.min(rid).alias("hub"))
+    star_pairs = (
+        star.join(hubs, "blocking_key")
+        .filter(F.col(rid) != F.col("hub"))
+        .select(F.col("hub").alias(lname), F.col(rid).alias(rname))
+    )
 
     # 8-byte key twins ride WITH the pair list (projected after the dedup
     # shuffle, so they cost nothing to produce): the scoring kernel's
@@ -281,10 +280,32 @@ def candidate_pairs(records: DataFrame, config: MatchConfig) -> BlockingResult:
     # mode downstream — attach_sides key tier 1); otherwise the sparse
     # rid64 sha-prefix twins (tier 2).
     if has_didx:
+        deduped = quad_pairs.unionByName(star_pairs).dropDuplicates(
+            ["left_didx", "right_didx"]
+        )
+        # ONE string-id re-attach after the dedup, from the slim
+        # (didx, record_id) map — broadcast (a single ReusedExchange
+        # probed from both sides) when the map fits the budget, slim
+        # shuffle-hash joins otherwise.
+        if n_records is None:
+            n_records = records.count()
+        rel = records.select(F.col("didx").alias("_didx"), "record_id")
+        rel = (
+            F.broadcast(rel)
+            if n_records <= config.records_broadcast_limit
+            else rel.hint("shuffle_hash")
+        )
+        lhs, rhs = rel.alias("_il"), rel.alias("_ir")
         pairs = (
-            quad_pairs.unionByName(star_pairs)
-            .dropDuplicates(["left_id", "right_id"])
-            .select("left_id", "right_id", "left_didx", "right_didx")
+            deduped
+            .join(lhs, F.col("left_didx") == F.col("_il._didx"), "inner")
+            .join(rhs, F.col("right_didx") == F.col("_ir._didx"), "inner")
+            .select(
+                F.col("_il.record_id").alias("left_id"),
+                F.col("_ir.record_id").alias("right_id"),
+                "left_didx",
+                "right_didx",
+            )
         )
     else:
         from identity_matching_spark.operators.compare import _rid64

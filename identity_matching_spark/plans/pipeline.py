@@ -92,7 +92,9 @@ def run_pipeline(files: DataFrame, config: MatchConfig | None = None) -> Pipelin
         # Dense-id interning (two slim passes + broadcast join-back): the
         # scoring attach then probes a direct-address long map per pair —
         # the measured kernel fast path — instead of a sparse hash walk.
+        _t0 = time.time()
         records = with_dense_ids(records)
+        _t("dense_ids_eager", _t0)
     if config.enable_fuzzy:
         from identity_matching_spark.operators.compare import enrich_phonetic
 
@@ -110,9 +112,11 @@ def run_pipeline(files: DataFrame, config: MatchConfig | None = None) -> Pipelin
     # downstream consumers need anyway. This is also the production shape
     # at 100 TB: you materialize the records table before a pair fan-out.
     _t0 = time.time()
-    records.count()
+    n_records = records.count()
     _t("records_barrier", _t0)
-    blocking: BlockingResult = candidate_pairs(records, config)
+    _t0 = time.time()
+    blocking: BlockingResult = candidate_pairs(records, config, n_records=n_records)
+    _t("blocking_call", _t0)
     pairs = blocking.pairs
     if config.enable_fuzzy:
         from identity_matching_spark.operators.compare import compare_pairs_fuzzy
