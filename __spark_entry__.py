@@ -39,7 +39,24 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Dict ORDER matters: the driver's correctness gate records only the
+    first 50 entries, so queries that have not yet had a driver-green row
+    (r4: the dedup/ann production paths, pipeline_full*) are rotated into
+    the window and long-stable TPC-style aggregates (green since r1-r2)
+    rotate out to the tail. See README 'Correctness gate' note."""
     base = {
+        # --- rotated into the 50-row window (no driver row before r5) ---
+        "pipeline_full": _q_pipeline_full,
+        "pipeline_full_portable": Q.q_pipeline_full_portable,
+        "dedup_minhash_fast": Q.q_dedup_minhash_fast,
+        "dedup_simhash_fast": Q.q_dedup_simhash_fast,
+        "dedup_minhash_pairs_portable": Q.q_dedup_minhash_portable,
+        "dedup_simhash_pairs_portable": Q.q_dedup_simhash_portable,
+        "near_dup_keeplist": Q.q_near_dup_keeplist,
+        "ann_lsh": Q.q_ann_lsh,
+        "ann_ivf": Q.q_ann_ivf,
+        "dedup_embedding": Q.q_dedup_embedding,
+        "media_features": Q.q_media_features,
         # --- ER core (SURVEY.md §2.2-2.7) ---
         "normalize_attrs": Q.q_normalize,
         "blocking_keys": Q.q_blocking_keys,
@@ -79,7 +96,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": Q.q_redact_pii,
         "pack_sequences": Q.q_pack_sequences,
         "corpus_mix": Q.q_corpus_mix,
-        # --- generic relational operators ---
+        # --- streaming ---
+        "streaming_window_agg": Q.q_streaming_window_agg,
+        "sessionize": Q.q_sessionize,
+        "sessionize_stream": Q.q_sessionize_stream,
+        # --- rotated OUT of the 50-row window (driver-green r1-r4) ---
         "agg_orders": Q.q_agg_orders,
         "region_revenue": Q.q_region_revenue,
         "pricing_summary": Q.q_pricing_summary,
@@ -91,26 +112,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_incremental": Q.q_anti_incremental,
         "federated_union": Q.q_federated_union,
         "registry_lookup": Q.q_registry_lookup,
-        # --- streaming / approximate / multimodal ---
-        "streaming_window_agg": Q.q_streaming_window_agg,
-        "sessionize": Q.q_sessionize,
-        "sessionize_stream": Q.q_sessionize_stream,
-        "dedup_minhash_fast": Q.q_dedup_minhash_fast,
-        "dedup_simhash_fast": Q.q_dedup_simhash_fast,
-        "dedup_minhash_pairs_portable": Q.q_dedup_minhash_portable,
-        "dedup_simhash_pairs_portable": Q.q_dedup_simhash_portable,
-        "near_dup_keeplist": Q.q_near_dup_keeplist,
-        "ann_lsh": Q.q_ann_lsh,
-        "ann_ivf": Q.q_ann_ivf,
-        "dedup_embedding": Q.q_dedup_embedding,
-        "media_features": Q.q_media_features,
-        # --- full pipeline ---
-        # production config (fast xxhash64 minhash) — value-exact since r4
-        # via the pure-SQL XXH64 machine ...
-        "pipeline_full": _q_pipeline_full,
-        # ... and the same lifecycle in portable-hash form, value-exact vs
-        # one recursive DuckDB query (keys -> pairs -> score -> CC).
-        "pipeline_full_portable": Q.q_pipeline_full_portable,
     }
     return base
 

@@ -93,6 +93,11 @@ class MatchConfig:
     # direct-address probes — the kernel-bench fast path, now the
     # production path). Off = legacy sparse rid64 twins.
     dense_ids: bool = True
+    # Prefix-bucket width for the dense-id rank passes. None = auto-scale
+    # to the input (ceil(log16(n / 4M-row target)) — see
+    # normalize.with_dense_ids); an explicit width is honored verbatim
+    # (didx values are identical at every width — pytested).
+    dense_id_nibbles: int | None = None
     # --- input validation (P3-P6; IdentityMatching.java:519-560) ---
     # Records whose completeness tier ranks below this are dropped before
     # blocking: "NONE" | "BASE" | "L0" | "L1". The synthetic corpus is

@@ -287,12 +287,14 @@ def candidate_pairs(
         # (didx, record_id) map — broadcast (a single ReusedExchange
         # probed from both sides) when the map fits the budget, slim
         # shuffle-hash joins otherwise.
-        if n_records is None:
-            n_records = records.count()
         rel = records.select(F.col("didx").alias("_didx"), "record_id")
+        # Unknown records size -> slim shuffle-hash re-attach, never a
+        # hidden records.count() job inside plan construction (ADVICE r4):
+        # callers that hold the count (run_pipeline's persist barrier)
+        # pass it and get the broadcast fast path.
         rel = (
             F.broadcast(rel)
-            if n_records <= config.records_broadcast_limit
+            if n_records is not None and n_records <= config.records_broadcast_limit
             else rel.hint("shuffle_hash")
         )
         lhs, rhs = rel.alias("_il"), rel.alias("_ir")

@@ -192,7 +192,9 @@ def attach_sides(
     return (
         pairs.join(lhs, pairs.left_id == lhs["l_record_id"], "inner")
         .join(rhs, pairs.right_id == rhs["r_record_id"], "inner")
-        .drop("l_record_id", "r_record_id")
+        # drop the sparse rid64 twins too, so the attached schema is
+        # identical across all four arms (broadcast/shuffle x dense/sparse)
+        .drop("l_record_id", "r_record_id", "left_rid64", "right_rid64")
     )
 
 

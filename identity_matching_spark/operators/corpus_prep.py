@@ -236,6 +236,17 @@ def redact_pii(
     Emits per-kind redaction counts and the sha256 of the scrubbed text,
     so the content invariant of the redacted corpus is checkable the same
     way as the raw one.
+
+    COVERAGE LIMITS (ADVICE r4) — the patterns are deliberately restricted
+    to the Java∩RE2 regex dialect so the DuckDB twin replays them
+    bit-exact, and they are NOT a complete PII scrub: phone matches only
+    ``NNN-NNN-NNNN`` / ``NNN.NNN.NNNN`` (not ``(555) 123-4567``,
+    ``555 123 4567`` or ``+1-...`` international forms), ipv4 accepts
+    octets > 255, and no postal-address / name / IBAN / credit-card
+    detection exists. Treat this operator as the scrubbing *pipeline
+    shape* (chain order, pre-replacement counts, redacted-sha invariant);
+    a governance deployment swaps ``PII_PATTERNS`` for a vetted library
+    of patterns, which changes nothing structural.
     """
     cur = F.col(text_col)
     counts = []
@@ -270,8 +281,18 @@ def pack_sequences(
     pass 2 sorts within buckets and adds offset[bucket] + a running local
     sum. Identical output to the single-window plan at any parallelism.
     """
+    from pyspark import StorageLevel
+
     toks = _norm_tokens(F.col(text_col))
-    base = docs.select(F.col(id_col), F.size(toks).alias("n_tokens"))
+    # Persist the slim (id, n_tokens) base BEFORE any driver collect
+    # (ADVICE r4): the per-bucket sum pass and the mapInPandas offset pass
+    # must observe identical rows — without the pin, upstream
+    # non-determinism could break the gap-free tok_offset invariant, and
+    # the tokenize scan would run twice. Handed back on the result as
+    # ``_pack_base_cache`` for callers that want to unpersist.
+    base = docs.select(F.col(id_col), F.size(toks).alias("n_tokens")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     lo_hi = base.agg(
         F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
     ).collect()[0]
@@ -317,7 +338,9 @@ def pack_sequences(
             ]
             yield out
 
-    return parts.mapInPandas(_add_offsets, out_schema)
+    out = parts.mapInPandas(_add_offsets, out_schema)
+    out._pack_base_cache = base
+    return out
 
 
 def corpus_mix(

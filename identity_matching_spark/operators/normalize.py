@@ -88,42 +88,77 @@ H64_PAIRS = [
 #: records relation never shuffles; above it the map shuffle-hash joins.
 DENSE_ID_BROADCAST_LIMIT = 1_000_000
 
+#: auto-scale target: one rank-window task sorts at most ~this many slim
+#: (record_id) rows. 4M ids x 72 B ≈ 300 MB per window partition — well
+#: inside an executor; the bucket count grows with the input instead.
+DENSE_ID_TARGET_BUCKET_ROWS = 4_000_000
+
 
 def with_dense_ids(
     records: DataFrame,
-    prefix_nibbles: int = 2,
+    prefix_nibbles: int | None = None,
     broadcast_limit: int = DENSE_ID_BROADCAST_LIMIT,
+    target_bucket_rows: int = DENSE_ID_TARGET_BUCKET_ROWS,
 ) -> DataFrame:
     """Intern record ids to DENSE longs: ``didx`` = rank of record_id.
 
     Downstream joins keyed on didx hit Spark's LongHashedRelation dense
     mode (direct-address array, one indexed load per probe) instead of a
     sparse hash walk — the single biggest lever on the scoring kernel's
-    probe memory traffic. Deterministic: same records -> same didx.
+    probe memory traffic. Deterministic: same records -> same didx, and
+    the SAME didx for every ``prefix_nibbles`` width (the bucket scheme
+    only re-partitions the rank computation, never reorders it —
+    pytested in test_attach_dense.py).
 
     Scale shape (no global window — a single-partition sort of 10^12 ids
     is a non-starter): record_id is fixed-width lowercase sha-hex, so its
     lexicographic order equals the numeric order of any hex prefix. Two
-    linear passes over the SLIM id column:
+    linear passes over the SLIM id column, which is PERSISTED first so
+    both passes observe identical rows (the upstream normalize chain is
+    sha-heavy and must not re-execute per pass, and a non-deterministic
+    source must not let the offset pass disagree with the rank pass —
+    ADVICE r4):
 
     1. count rows per ``16^prefix_nibbles`` order-preserving prefix
-       buckets (one map-side-combined groupBy -> 256 rows to the driver
-       at the default; use 4 nibbles = 65k buckets at 10^12 rows), prefix
-       offsets = exclusive cumsum — O(buckets) driver work;
+       buckets (one map-side-combined groupBy -> O(buckets) rows to the
+       driver), prefix offsets = exclusive cumsum;
     2. rank WITHIN each bucket (hash-partitioned window, never
        SinglePartition); didx = bucket offset + local rank.
 
+    ``prefix_nibbles=None`` (default) auto-scales the width to the input:
+    ceil(log16(n / target_bucket_rows)) nibbles, so no rank window ever
+    sees a multi-billion-row partition — 2 nibbles (256 buckets) up to
+    ~10^9 ids, 5 nibbles (~1M buckets, ~1M-row driver collect) at 10^12.
+    An explicit width is honored verbatim (tests force 4 to prove didx
+    equality across widths).
+
     The id->didx map then joins back: broadcast below ``broadcast_limit``
     (the wide records relation never moves), shuffle-hash above it (two
-    slim exchanges — the unavoidable arbitrary-scale plan).
+    slim exchanges — the unavoidable arbitrary-scale plan). The persisted
+    slim projection is handed to the caller on the result as
+    ``_dense_slim_cache`` — the id map keeps reading it lazily, so it
+    stays pinned until pipeline cleanup unpersists it.
     """
+    import math
+
+    from pyspark import StorageLevel
     from pyspark.sql import Window
 
     if "didx" in records.columns:  # already interned — idempotent
         return records
-    bucket = F.conv(F.substring("record_id", 1, prefix_nibbles), 16, 10).cast("long")
-    slim = records.select("record_id", bucket.alias("_bkt"))
-    counts = slim.groupBy("_bkt").count().collect()
+    slim = records.select("record_id").persist(StorageLevel.MEMORY_AND_DISK)
+
+    def _bucket(nib: int):
+        return F.conv(F.substring("record_id", 1, nib), 16, 10).cast("long")
+
+    nib = prefix_nibbles or 2
+    counts = slim.groupBy(_bucket(nib).alias("_bkt")).count().collect()
+    total = sum(int(r["count"]) for r in counts)
+    if prefix_nibbles is None and total > target_bucket_rows:
+        need = max(2, math.ceil(math.log(total / target_bucket_rows, 16)))
+        if need > nib:  # re-count at the wider prefix (persisted slim scan)
+            nib = need
+            counts = slim.groupBy(_bucket(nib).alias("_bkt")).count().collect()
     offsets, acc = [], 0
     for row in sorted(counts, key=lambda r: r["_bkt"]):
         offsets.append((int(row["_bkt"]), acc))
@@ -133,7 +168,8 @@ def with_dense_ids(
     )
     w = Window.partitionBy("_bkt").orderBy("record_id")
     idmap = (
-        slim.join(F.broadcast(off_df), "_bkt")
+        slim.select("record_id", _bucket(nib).alias("_bkt"))
+        .join(F.broadcast(off_df), "_bkt")
         .select(
             "record_id",
             (F.col("_off") + F.row_number().over(w) - F.lit(1)).cast("long").alias("didx"),
@@ -143,7 +179,9 @@ def with_dense_ids(
         idmap = F.broadcast(idmap)
     else:
         idmap = idmap.hint("shuffle_hash")
-    return records.join(idmap, "record_id")
+    out = records.join(idmap, "record_id")
+    out._dense_slim_cache = slim
+    return out
 
 
 def normalize_files(files: DataFrame) -> DataFrame:

@@ -49,7 +49,8 @@ class PipelineResult:
         cached blocks across runs."""
         jwtab = getattr(self.scored_pairs, "jw_stem_cache", None)
         slim = getattr(self.scored_pairs, "slim_cache", None)
-        for df in (jwtab, slim, self.scored_pairs, self.pairs, self.records):
+        dense_slim = getattr(self.scored_pairs, "dense_slim_cache", None)
+        for df in (jwtab, slim, dense_slim, self.scored_pairs, self.pairs, self.records):
             if df is not None:
                 try:
                     df.unpersist()
@@ -86,6 +87,7 @@ def run_pipeline(files: DataFrame, config: MatchConfig | None = None) -> Pipelin
     # persist so the normalize projection (sha256-heavy) and the phonetic
     # pandas UDFs run once, linearly, before any pair fan-out.
     records = validation_gate(normalize_files(files), config)
+    dense_slim_cache = None
     if config.dense_ids:
         from identity_matching_spark.operators.normalize import with_dense_ids
 
@@ -93,7 +95,8 @@ def run_pipeline(files: DataFrame, config: MatchConfig | None = None) -> Pipelin
         # scoring attach then probes a direct-address long map per pair —
         # the measured kernel fast path — instead of a sparse hash walk.
         _t0 = time.time()
-        records = with_dense_ids(records)
+        records = with_dense_ids(records, prefix_nibbles=config.dense_id_nibbles)
+        dense_slim_cache = getattr(records, "_dense_slim_cache", None)
         _t("dense_ids_eager", _t0)
     if config.enable_fuzzy:
         from identity_matching_spark.operators.compare import enrich_phonetic
@@ -153,6 +156,7 @@ def run_pipeline(files: DataFrame, config: MatchConfig | None = None) -> Pipelin
     # propagate the fuzzy path's persisted JW table for PipelineResult.cleanup
     scored.jw_stem_cache = getattr(flagged, "jw_stem_cache", None)
     scored.slim_cache = scored_slim
+    scored.dense_slim_cache = dense_slim_cache
     edges = scored_slim.filter(F.col("score") >= F.lit(config.cluster_threshold)).select(
         "left_id", "right_id"
     )

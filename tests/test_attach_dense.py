@@ -90,3 +90,66 @@ def test_with_dense_ids_scales_without_global_window(spark):
     recs = with_dense_ids(normalize_files(files))
     plan = recs._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def test_dense_ids_identical_across_nibble_widths(spark):
+    """didx must be bit-identical at every prefix_nibbles width (VERDICT r4
+    #3): the bucket scheme re-partitions the rank computation but never
+    reorders it, so a forced-4-nibble run (the 10^12-id shape) assigns the
+    same ids as the 2-nibble default."""
+    files = spark.createDataFrame(
+        [(f"r{i}", f"src/m{i % 5}/f{i}.py", "c" * 40, "python", f"body {i}")
+         for i in range(64)],
+        ["repo", "path", "commit", "lang", "content"],
+    )
+    recs = normalize_files(files)
+    by_width = {}
+    for nib in (2, 4, 6):
+        got = with_dense_ids(recs, prefix_nibbles=nib)
+        by_width[nib] = sorted(
+            (r["record_id"], r["didx"])
+            for r in got.select("record_id", "didx").collect()
+        )
+    assert by_width[2] == by_width[4] == by_width[6]
+    assert sorted(d for _, d in by_width[2]) == list(range(64))
+
+
+def test_dense_ids_autoscale_width(spark):
+    """prefix_nibbles=None derives the width from the input: tiny inputs
+    stay at 2 nibbles; a small target_bucket_rows forces a wider prefix,
+    with identical didx values either way."""
+    files = spark.createDataFrame(
+        [(f"r{i}", f"f{i}.py", "c" * 40, "python", f"body {i}") for i in range(32)],
+        ["repo", "path", "commit", "lang", "content"],
+    )
+    recs = normalize_files(files)
+    auto = with_dense_ids(recs, target_bucket_rows=4)  # forces ceil(log16(8))=2.. wider path
+    default = with_dense_ids(recs, prefix_nibbles=2)
+    rows = lambda df: sorted(
+        (r["record_id"], r["didx"]) for r in df.select("record_id", "didx").collect()
+    )
+    assert rows(auto) == rows(default)
+
+
+def test_pipeline_forced_4_nibbles_identical(spark, sf_dir):
+    """run_pipeline with dense_id_nibbles=4 must yield bit-identical
+    candidate pairs and clusters to the auto-width run (VERDICT r4 #3
+    done-criterion)."""
+    from identity_matching_spark.config import MatchConfig
+    from identity_matching_spark.plans.pipeline import run_pipeline
+    from identity_matching_spark.sources.tables import (
+        files_from_documents,
+        load_table,
+    )
+
+    corpus_files = files_from_documents(load_table(spark, sf_dir, "documents"))
+    base = run_pipeline(corpus_files, MatchConfig(enable_fuzzy=False))
+    forced = run_pipeline(
+        corpus_files, MatchConfig(enable_fuzzy=False, dense_id_nibbles=4)
+    )
+    assert _rows(base.pairs.select("left_id", "right_id")) == _rows(
+        forced.pairs.select("left_id", "right_id")
+    )
+    assert _rows(base.clusters) == _rows(forced.clusters)
+    base.cleanup()
+    forced.cleanup()

@@ -70,12 +70,20 @@ def window_clean(p: dict, args) -> bool:
 def run_accepted(args) -> bool:
     """Run the harness once; True iff its self-reported window was clean
     AND the north-rule gates are met. A crashed/timed-out harness run is
-    reported and rejected instead of killing the watcher."""
+    reported and rejected instead of killing the watcher.
+
+    --sections kernel|e2e re-measures only that section (the other is
+    carried over from the banked headline by bench_scaling.py), and only
+    THAT section's window stamps + efficiency gate are judged — an
+    already-banked kernel window is never re-litigated to refresh the
+    e2e table."""
+    env = dict(os.environ, SPARK_GRAFT_SECTIONS=args.sections)
     try:
         subprocess.run(
             [sys.executable, os.path.join(REPO, "tools", "bench_scaling.py"), args.sf_dir],
             check=True,
             timeout=5400,
+            env=env,
             stdout=subprocess.DEVNULL,
             stderr=subprocess.DEVNULL,
         )
@@ -84,20 +92,33 @@ def run_accepted(args) -> bool:
         return False
     with open(HEADLINE) as fh:
         r = json.load(fh)
-    clean = (
-        abs(r["host_drift_between_legs"] - 1.0) <= args.drift_band
-        and r["hw_ceiling_efficiency"] >= args.min_ceiling
-    )
-    ok = clean and r["scaling_efficiency"] >= 0.8
+    ok, clean = True, True
+    if args.sections in ("all", "kernel"):
+        k_clean = (
+            abs(r["host_drift_between_legs"] - 1.0) <= args.drift_band
+            and r["hw_ceiling_efficiency"] >= args.min_ceiling
+        )
+        clean = clean and k_clean
+        ok = ok and k_clean and r["scaling_efficiency"] >= 0.8
+    if args.sections in ("all", "e2e"):
+        e_clean = (
+            abs(r["host_drift_e2e_window"] - 1.0) <= args.drift_band
+            and r["hw_ceiling_efficiency_e2e_window"] >= args.min_ceiling
+        )
+        clean = clean and e_clean
+        ok = ok and e_clean and r["scaling_efficiency_e2e"] >= args.min_e2e
     print(
         json.dumps(
             {
                 "attempt_result": "ACCEPTED" if ok else "rejected",
+                "sections": args.sections,
                 "window_clean": clean,
                 "kernel_eff": r["scaling_efficiency"],
                 "e2e_eff": r["scaling_efficiency_e2e"],
                 "ceiling": r["hw_ceiling_efficiency"],
                 "drift": r["host_drift_between_legs"],
+                "e2e_ceiling": r["hw_ceiling_efficiency_e2e_window"],
+                "e2e_drift": r["host_drift_e2e_window"],
             }
         ),
         flush=True,
@@ -118,6 +139,12 @@ def main() -> int:
                     help="max |harness cross-leg drift - 1| to accept a run")
     ap.add_argument("--probe-sec", type=int, default=150)
     ap.add_argument("--max-minutes", type=int, default=240)
+    ap.add_argument("--sections", choices=("all", "kernel", "e2e"), default="all",
+                    help="which harness section to (re-)measure; the other "
+                         "is carried over from the banked headline")
+    ap.add_argument("--min-e2e", type=float, default=0.65,
+                    help="min scaling_efficiency_e2e to accept when the e2e "
+                         "section is measured (kernel keeps the 0.8 north-rule gate)")
     args = ap.parse_args()
 
     deadline = time.time() + args.max_minutes * 60
