@@ -121,6 +121,26 @@ def _session_handler(gap_seconds: int):
     return handle
 
 
+def closed_sessions(
+    events_stream: DataFrame, gap_seconds: int = DEFAULT_GAP_SECONDS
+) -> DataFrame:
+    """Apply the stateful sessionizer to ANY streaming events relation
+    (columns ts/event_id/user_id/value) — the transport-agnostic core.
+    Returns the unstarted streaming DataFrame of CLOSED sessions (append
+    mode); callers pick sink + trigger. Works over the file transport
+    (``closed_sessions_stream``) and the unbounded ``rate-micro-batch``
+    generator (``tests/test_stream_sources.py``) identically."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        _session_handler(gap_seconds),
+        outputStructType=_OUTPUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def closed_sessions_stream(
     spark: SparkSession,
     events_path: str,
@@ -139,8 +159,6 @@ def closed_sessions_stream(
     import os
     import uuid
 
-    from pyspark.sql.streaming.state import GroupStateTimeout
-
     static = spark.read.parquet(events_path)
     reader = spark.readStream.schema(static.schema).format("parquet")
     if max_files_per_trigger:
@@ -151,13 +169,7 @@ def closed_sessions_stream(
     else:
         stream = reader.load(events_path)
 
-    sessions = stream.groupBy("user_id").applyInPandasWithState(
-        _session_handler(gap_seconds),
-        outputStructType=_OUTPUT_SCHEMA,
-        stateStructType=_STATE_SCHEMA,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
-    )
+    sessions = closed_sessions(stream, gap_seconds)
     name = f"sess_{uuid.uuid4().hex[:8]}"
     q = sessions.writeStream.outputMode("append").format("memory").queryName(name).start()
     try:

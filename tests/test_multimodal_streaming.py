@@ -48,16 +48,27 @@ def test_resize_really_resamples_images(media):
         decode_ppm_frames,
     )
 
+    from identity_matching_spark.operators.multimodal import decode_qoi
+
     out = resize_images(media, 6, 5)
     rows = out.collect()
     assert all(r["kind"] == "image" for r in rows)
     assert all(r["width"] == 6 and r["height"] == 5 for r in rows)
     assert len(rows) == media.filter(F.col("kind") == "image").count()
-    # the payload itself is resampled, not just the metadata
-    for r in rows[:6]:
+    # the payload itself is resampled, not just the metadata — and the
+    # resized payload stays in its source format (incl. compressed QOI)
+    seen_fmts = set()
+    for r in rows[:9]:
         data = bytes(r["payload"])
-        px = decode_bmp(data) if data[:2] == b"BM" else decode_ppm_frames(data)[0]
+        if data[:2] == b"BM":
+            px, fmt = decode_bmp(data), "bmp"
+        elif data[:4] == b"qoif":
+            px, fmt = decode_qoi(data), "qoi"
+        else:
+            px, fmt = decode_ppm_frames(data)[0], "ppm"
+        seen_fmts.add(fmt)
         assert px.shape == (5, 6, 3)
+    assert seen_fmts == {"bmp", "ppm", "qoi"}
 
 
 def test_frame_sampling_grid(media):
@@ -67,6 +78,50 @@ def test_frame_sampling_grid(media):
     )
     for r in joined.collect():
         assert r["n"] == max(1, r["d"] // 1000)
+
+
+def test_qoi_roundtrip_and_compression():
+    """Vendored QOI codec (public-domain spec): pixel-exact roundtrip over
+    shapes that exercise every chunk op (runs, index hits, DIFF, LUMA,
+    literal RGB), and real compression on run-heavy content."""
+    import numpy as np
+
+    from identity_matching_spark.operators.multimodal import decode_qoi, encode_qoi
+
+    # gradient: DIFF/LUMA-heavy
+    y, x = np.mgrid[0:17, 0:23]
+    grad = np.stack([(x * 3 + y * 7 + c * 11) % 256 for c in range(3)], axis=-1).astype(np.uint8)
+    # flat + stripes: RUN/INDEX-heavy
+    flat = np.full((16, 64, 3), 77, np.uint8)
+    flat[::4] = (1, 200, 3)
+    # adversarial: big jumps forcing literal RGB chunks
+    rng = np.random.RandomState(7)
+    noise = rng.randint(0, 256, (9, 13, 3)).astype(np.uint8)
+    for px in (grad, flat, noise):
+        data = encode_qoi(px)
+        assert data[:4] == b"qoif"
+        out = decode_qoi(data)
+        assert out.shape == px.shape
+        assert (out == px).all()
+    assert len(encode_qoi(flat)) < flat.size // 4  # actually compressed
+
+
+def test_compressed_payload_decodes_end_to_end(spark, media):
+    """The compressed-format path runs in THIS sandbox with no optional
+    deps: QOI payloads flow through extract_features' default decoder."""
+    import numpy as np
+
+    from identity_matching_spark.operators.multimodal import decode_qoi
+
+    qoi = media.filter(F.col("mime") == "image/qoi")
+    n_qoi = qoi.count()
+    assert n_qoi > 0
+    feats = {r["media_id"]: r["features"] for r in extract_features(qoi, dim=8).collect()}
+    assert len(feats) == n_qoi
+    for r in qoi.collect():
+        sig = decode_qoi(bytes(r["payload"])).astype(np.float32).ravel()
+        want = [float(c.mean()) for c in np.array_split(sig, 8)]
+        assert feats[r["media_id"]] == pytest.approx(want)
 
 
 def test_custom_decoder_seam(media):
