@@ -194,6 +194,24 @@ def run_scoring_kernel(spark, n_entities: int):
     # cache-resident scaling experiment at small sf needs a higher K for
     # the same timed-window length).
     K = int(os.environ.get("SPARK_GRAFT_KERNEL_REP", "6"))
+    # A/B knob (VERDICT r4 #6): SPARK_GRAFT_PAIR_ORDER=shuffled scans a
+    # scrambled twin of the pair list instead of the left_didx-clustered
+    # one — same files/rows/plan, only the probe-key ORDER differs, so the
+    # pair (clustered, shuffled) isolates what near-sequential walks of
+    # the dense broadcast row pages are worth. tools/kernel_order_ab.py
+    # runs the interleaved measurement.
+    if os.environ.get("SPARK_GRAFT_PAIR_ORDER", "clustered") == "shuffled":
+        shuf_path = pair_path.replace(".parquet", "_shuf.parquet")
+        if not os.path.exists(os.path.join(shuf_path, "_SUCCESS")):
+            (
+                spark.read.parquet(pair_path)
+                .withColumn("_h", F.xxhash64("left_didx", "right_didx"))
+                .repartitionByRange(64, "_h")
+                .sortWithinPartitions("_h")
+                .drop("_h")
+                .write.mode("overwrite").parquet(shuf_path)
+            )
+        pair_path = shuf_path
     pairs_once = spark.read.parquet(pair_path)
     pairs = (
         pairs_once

@@ -93,6 +93,66 @@ class SnapshotStore:
             )
         return sorted(out, key=lambda d: d["file"])
 
+    # --- Iceberg snapshot surface (executes only with the runtime jar) ---
+
+    def snapshots(self, name: str) -> list[dict]:
+        """Committed snapshots of a stage, oldest first — (snapshot_id,
+        committed_at, operation). Iceberg mode reads the table's
+        ``.snapshots`` metadata relation; parquet mode has exactly one
+        implicit snapshot per overwrite, synthesized from the _SUCCESS
+        mtime so callers can code against one shape."""
+        if self.table_format == "iceberg":
+            rows = (
+                self.spark.read.table(f"{self._table(name)}.snapshots")
+                .orderBy("committed_at")
+                .collect()
+            )
+            return [
+                {
+                    "snapshot_id": r["snapshot_id"],
+                    "committed_at": r["committed_at"],
+                    "operation": r["operation"],
+                }
+                for r in rows
+            ]
+        marker = os.path.join(self._path(name), "_SUCCESS")
+        if not os.path.exists(marker):
+            return []
+        return [
+            {
+                "snapshot_id": int(os.path.getmtime(marker) * 1000),
+                "committed_at": os.path.getmtime(marker),
+                "operation": "overwrite",
+            }
+        ]
+
+    def read_incremental(self, name: str, after_snapshot_id: int) -> DataFrame:
+        """Rows appended AFTER the given snapshot — Iceberg's incremental
+        scan (``start-snapshot-id`` exclusive, latest inclusive). This is
+        the real replacement for the doc_id-cutoff simulation the engine
+        uses on plain parquet (queries.py q_incremental_*): a resumed
+        pipeline reads only the delta since its last processed snapshot.
+        Iceberg-mode only — parquet dirs carry no row-level history."""
+        if self.table_format != "iceberg":
+            raise NotImplementedError(
+                "incremental snapshot reads need table_format='iceberg' "
+                "(parquet overwrites keep no history); the parquet engine "
+                "path simulates deltas with monotonic-id cutoffs instead"
+            )
+        return (
+            self.spark.read.format("iceberg")
+            .option("start-snapshot-id", str(after_snapshot_id))
+            .load(self._table(name))
+        )
+
+    def append(self, name: str, df: DataFrame) -> None:
+        """Append a delta to an existing stage (Iceberg: a new snapshot;
+        parquet: an append write)."""
+        if self.table_format == "iceberg":
+            df.writeTo(self._table(name)).append()
+            return
+        df.write.mode("append").parquet(self._path(name))
+
     def log_lineage(self, stage: str, **metrics) -> None:
         row = {"stage": stage, "ts": time.time(), **metrics}
         with open(self._lineage_path, "a") as fh:

@@ -63,6 +63,73 @@ def test_iceberg_write_read_contract(spark, tmp_path, monkeypatch):
     assert exists_q == ["lake.linkage.records"]
 
 
+def _iceberg_runtime_on_classpath(spark) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+def test_iceberg_snapshot_incremental_executes_with_runtime_jar(spark, tmp_path):
+    """REAL Iceberg execution — auto-activates when the runtime jar is on
+    the classpath: writerV2 createOrReplace, an append snapshot, the
+    ``.snapshots`` metadata relation, and an incremental
+    ``start-snapshot-id`` read returning exactly the appended delta (the
+    real replacement for the parquet doc_id-cutoff simulation).
+
+    This sandbox: no iceberg-spark-runtime jar ships in /opt/spark/jars
+    and ``spark.jars.packages`` cannot resolve one (repo1.maven.org is
+    unresolvable — no network), so the test SKIPS here; the seam itself
+    is still contract-pinned above. On any deployment that adds
+    ``org.apache.iceberg:iceberg-spark-runtime-4.0_2.13`` this test runs
+    end-to-end with no code change (catalog plugins resolve lazily, so
+    runtime conf.set suffices)."""
+    if not _iceberg_runtime_on_classpath(spark):
+        import pytest
+
+        pytest.skip(
+            "no Iceberg runtime jar on classpath; offline sandbox cannot "
+            "fetch org.apache.iceberg:iceberg-spark-runtime (documented "
+            "attempt: maven central DNS-unresolvable)"
+        )
+    spark.conf.set("spark.sql.catalog.lake", "org.apache.iceberg.spark.SparkCatalog")
+    spark.conf.set("spark.sql.catalog.lake.type", "hadoop")
+    spark.conf.set("spark.sql.catalog.lake.warehouse", str(tmp_path / "wh"))
+    store = SnapshotStore(
+        spark, str(tmp_path / "s"), table_format="iceberg", namespace="lake.linkage"
+    )
+    base = spark.range(5).select(F.col("id"), (F.col("id") * 2).alias("y"))
+    store.write("records", base)
+    snaps = store.snapshots("records")
+    assert len(snaps) == 1 and snaps[0]["operation"] in ("overwrite", "append")
+    delta = spark.range(5, 8).select(F.col("id"), (F.col("id") * 2).alias("y"))
+    store.append("records", delta)
+    assert len(store.snapshots("records")) == 2
+    inc = store.read_incremental("records", snaps[0]["snapshot_id"])
+    assert sorted(r["id"] for r in inc.collect()) == [5, 6, 7]
+    assert store.count("records") == 8
+
+
+def test_parquet_mode_snapshot_surface_shape(spark, tmp_path):
+    """The parquet fallback exposes the same snapshot-listing shape (one
+    implicit snapshot per overwrite) and refuses incremental reads loudly
+    — so pipeline code written against the surface ports to Iceberg by
+    flipping table_format only."""
+    import pytest
+
+    store = SnapshotStore(spark, str(tmp_path / "q"))
+    assert store.snapshots("records") == []
+    store.write("records", spark.range(4))
+    snaps = store.snapshots("records")
+    assert len(snaps) == 1 and snaps[0]["operation"] == "overwrite"
+    assert isinstance(snaps[0]["snapshot_id"], int)
+    store.append("records", spark.range(4, 6))
+    assert store.count("records") == 6
+    with pytest.raises(NotImplementedError):
+        store.read_incremental("records", snaps[0]["snapshot_id"])
+
+
 def test_parquet_mode_untouched_by_seam(spark, tmp_path):
     store = SnapshotStore(spark, str(tmp_path / "p"))
     df = spark.range(3).select("id")
