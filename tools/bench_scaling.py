@@ -258,6 +258,14 @@ stream never crosses the Arrow boundary.
 **Scaling efficiency ({N_LO} -> {N_HI} cores): {result['scaling_efficiency']}**
 (target >= 0.8 per BASELINE.json north_rule; hardware ceiling {result['hw_ceiling_efficiency']})
 
+**Pair-order A/B (null result, banked):** sorting the candidate-pair
+stream by `left_didx` before the kernel — the "near-sequential probe
+walk" lever — measured clustered/shuffled = 1.037 at 8 pinned cores
+(`BENCH/kernel_order_ab_null.json`, pre-registered action bar 1.10,
+rep spread larger than the effect). The dense LongToUnsafeRowMap probe
+is already cheap next to comparator codegen, so the production pair
+stream stays unsorted and the kernel carries no extra sort exchange.
+
 ## End-to-end pipeline (normalize -> 6-family blocking -> score -> CC)
 
 sf={r_lo['sf']}, {r_lo['corpus_rows']} files, {r_lo['pairs_scored']} candidate pairs.
