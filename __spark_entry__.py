@@ -46,6 +46,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rotate out to the tail. See README 'Correctness gate' note."""
     base = {
         # --- rotated into the 50-row window (no driver row before r5) ---
+        "set_similarity_join": Q.q_set_similarity_join,
+        "cluster_f1": Q.q_cluster_f1,
         "pipeline_full": _q_pipeline_full,
         "pipeline_full_portable": Q.q_pipeline_full_portable,
         "dedup_minhash_fast": Q.q_dedup_minhash_fast,
@@ -83,8 +85,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": Q.q_lang_id,
         "lang_id_trigram": Q.q_lang_id_trigram,
         "text_quality": Q.q_text_quality,
-        "token_count": Q.q_token_count,
-        "ann_cosine": Q.q_ann_cosine,
         "ann_topk": Q.q_ann_topk,
         # --- corpus preparation (operators/corpus_prep.py) ---
         "split_assign": Q.q_split_assign,
@@ -101,6 +101,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": Q.q_sessionize,
         "sessionize_stream": Q.q_sessionize_stream,
         # --- rotated OUT of the 50-row window (driver-green r1-r4) ---
+        "token_count": Q.q_token_count,
+        "ann_cosine": Q.q_ann_cosine,
         "agg_orders": Q.q_agg_orders,
         "region_revenue": Q.q_region_revenue,
         "pricing_summary": Q.q_pricing_summary,
@@ -236,6 +238,46 @@ _CLUSTERS_SQL = (
       SELECT w.node, e.d FROM walk w JOIN sym e ON w.front = e.s
     )
     SELECT node AS record_id, min(front) AS cluster_id FROM walk GROUP BY node"""
+)
+
+# Pairwise cluster metrics vs exact-content truth labels: same recursive CC
+# as _CLUSTERS_SQL, then the cluster-size combinatorics (C(n,2) sums) that
+# operators/metrics.pairwise_cluster_metrics computes distributed.
+_CLUSTER_F1_SQL = (
+    "WITH RECURSIVE "
+    + ",".join([OS.FILES_CTE, OS.RECORDS_CTE, OS.KEYS_CTE, OS.PAIRS_CTE, OS.SCORED_PAIRS_CTE])
+    + """,
+    edges AS (SELECT left_id, right_id FROM scored WHERE score >= 0.80),
+    sym AS (
+      SELECT left_id AS s, right_id AS d FROM edges
+      UNION ALL SELECT right_id, left_id FROM edges
+    ),
+    walk(node, front) AS (
+      SELECT record_id, record_id FROM records
+      UNION
+      SELECT w.node, e.d FROM walk w JOIN sym e ON w.front = e.s
+    ),
+    pred AS (SELECT node AS record_id, min(front) AS p FROM walk GROUP BY node),
+    truth AS (SELECT record_id, content_sha256 AS t FROM records),
+    j AS (SELECT pred.p, truth.t FROM pred JOIN truth USING (record_id)),
+    cells AS (SELECT p, t, count(*) AS n FROM j GROUP BY 1, 2),
+    tp AS (SELECT CAST(COALESCE(sum(n * (n - 1) // 2), 0) AS BIGINT) AS tp_pairs FROM cells),
+    pp AS (SELECT CAST(COALESCE(sum(n * (n - 1) // 2), 0) AS BIGINT) AS pred_pairs
+           FROM (SELECT count(*) AS n FROM j GROUP BY p)),
+    tt AS (SELECT CAST(COALESCE(sum(n * (n - 1) // 2), 0) AS BIGINT) AS true_pairs
+           FROM (SELECT count(*) AS n FROM j GROUP BY t)),
+    nr AS (SELECT count(*) AS n_records FROM j),
+    m AS (
+      SELECT n_records, tp_pairs, pred_pairs, true_pairs,
+        CASE WHEN pred_pairs > 0 THEN CAST(tp_pairs AS DOUBLE) / pred_pairs END AS p_raw,
+        CASE WHEN true_pairs > 0 THEN CAST(tp_pairs AS DOUBLE) / true_pairs END AS r_raw
+      FROM nr, tp, pp, tt)
+    SELECT n_records, tp_pairs, pred_pairs, true_pairs,
+      round(p_raw, 6) AS "precision",
+      round(r_raw, 6) AS recall,
+      round(CASE WHEN p_raw IS NOT NULL AND r_raw IS NOT NULL AND p_raw + r_raw > 0
+            THEN 2 * p_raw * r_raw / (p_raw + r_raw) END, 6) AS f1
+    FROM m"""
 )
 
 
@@ -474,6 +516,16 @@ def oracle_sql() -> dict[str, str]:
                   CAST(sum(CASE WHEN n > 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_guarded_at_8
            FROM sz GROUP BY family""",
         "clusters": _CLUSTERS_SQL,
+        "cluster_f1": _CLUSTER_F1_SQL,
+        "set_similarity_join": f"""WITH t AS (
+            SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents),
+          nz AS (SELECT doc_id, toks FROM t WHERE len(toks) > 0),
+          p AS (
+            SELECT l.doc_id AS a, r.doc_id AS b,
+                   round(CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE)
+                         / len(list_distinct(list_concat(l.toks, r.toks))), 4) AS jaccard
+            FROM nz l JOIN nz r ON l.doc_id < r.doc_id)
+          SELECT a, b, jaccard FROM p WHERE jaccard >= 0.5""",
         "completeness_tier": f"""{P},
           w AS (
             SELECT record_id,

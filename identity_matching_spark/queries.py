@@ -1019,3 +1019,28 @@ def q_corpus_mix(spark, sf_dir):
     from identity_matching_spark.operators.corpus_prep import corpus_mix
 
     return corpus_mix(load_table(spark, sf_dir, "documents"))
+
+
+def q_set_similarity_join(spark, sf_dir):
+    """Prefix-filter set-similarity self-join (PPJoin-style): all document
+    pairs with distinct-token Jaccard >= 0.5, rarest-token-first prefixes,
+    exact verification on collisions only. Output value-identical to the
+    naive all-pairs oracle; only the plan differs (operators/setjoin.py)."""
+    from identity_matching_spark.operators.setjoin import set_similarity_join
+
+    return set_similarity_join(load_table(spark, sf_dir, "documents"))
+
+
+def q_cluster_f1(spark, sf_dir):
+    """Pairwise precision/recall/F1 of the pipeline's entity clusters vs
+    exact-content identity (content_sha256 groups) as the truth labeling,
+    computed from cluster-size combinatorics — NO pair materialization
+    (operators/metrics.py; the north rule's F1 metric as a distributed op)."""
+    from identity_matching_spark.operators.metrics import pairwise_cluster_metrics
+
+    records, pairs = _pairs(spark, sf_dir)
+    scored = grade_pairs(compare_pairs(pairs, records))
+    edges = scored.filter(F.col("score") >= 0.80).select("left_id", "right_id")
+    pred = clusters_with_singletons(records, connected_components(edges, SQL_CONFIG))
+    truth = records.select("record_id", F.col("content_sha256").alias("true_cluster_id"))
+    return pairwise_cluster_metrics(pred, truth)
