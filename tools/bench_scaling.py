@@ -127,8 +127,24 @@ def main():
                 f"section reuse needs matching legs (got {N_LO}->{N_HI})"
             )
 
+    # Fail fast on a window that collapsed between the watcher's probe and
+    # our own start-of-window calibration (watch11: the probe saw 33.1
+    # units/s, the window opened at 24.3, and 18 doomed minutes followed).
+    # SPARK_GRAFT_MIN_CAL_HI aborts BEFORE the expensive legs so the
+    # watcher can resume probing within ~a minute.
+    min_cal_hi = float(os.environ.get("SPARK_GRAFT_MIN_CAL_HI", "0"))
+
+    def _gate(cal_hi: float, section: str) -> None:
+        if min_cal_hi and cal_hi < min_cal_hi:
+            raise SystemExit(
+                f"{section} window opened degraded: {cal_hi:.1f} units/s "
+                f"at {N_HI} procs < required {min_cal_hi:.1f}; aborting "
+                "before the measurement legs"
+            )
+
     if sections in ("all", "kernel"):
         cal_k = {str(N_LO): hw_calibration(N_LO), str(N_HI): hw_calibration(N_HI)}
+        _gate(cal_k[str(N_HI)], "kernel")
         mem_k = {str(N_LO): mem_calibration(N_LO), str(N_HI): mem_calibration(N_HI)}
         k_lo = run_bench(N_LO, sf_dir, sections="kernel")
         k_hi = run_bench(N_HI, sf_dir, sections="kernel")
@@ -154,6 +170,7 @@ def main():
 
     if sections in ("all", "e2e"):
         cal_e = {str(N_LO): hw_calibration(N_LO), str(N_HI): hw_calibration(N_HI)}
+        _gate(cal_e[str(N_HI)], "e2e")
         e_lo = run_bench(N_LO, sf_dir, sections="e2e")
         e_hi = run_bench(N_HI, sf_dir, sections="e2e")
         cal_e_end = hw_calibration(N_HI)

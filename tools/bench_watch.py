@@ -77,7 +77,13 @@ def run_accepted(args) -> bool:
     THAT section's window stamps + efficiency gate are judged — an
     already-banked kernel window is never re-litigated to refresh the
     e2e table."""
-    env = dict(os.environ, SPARK_GRAFT_SECTIONS=args.sections)
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SECTIONS=args.sections,
+        # abort inside the harness if the window-start calibration shows
+        # the host collapsed since the probe (93% of the probe bar)
+        SPARK_GRAFT_MIN_CAL_HI=str(round(args.min_cap * 0.93, 1)),
+    )
     try:
         subprocess.run(
             [sys.executable, os.path.join(REPO, "tools", "bench_scaling.py"), args.sf_dir],
@@ -85,9 +91,23 @@ def run_accepted(args) -> bool:
             timeout=5400,
             env=env,
             stdout=subprocess.DEVNULL,
-            stderr=subprocess.DEVNULL,
+            stderr=subprocess.PIPE,
+            text=True,
         )
-    except (subprocess.CalledProcessError, subprocess.TimeoutExpired) as exc:
+    except subprocess.CalledProcessError as exc:
+        tail = (exc.stderr or "").strip().splitlines()
+        print(
+            json.dumps(
+                {
+                    "attempt_result": "harness_error",
+                    "error": str(exc),
+                    "stderr_tail": tail[-1] if tail else "",
+                }
+            ),
+            flush=True,
+        )
+        return False
+    except subprocess.TimeoutExpired as exc:
         print(json.dumps({"attempt_result": "harness_error", "error": str(exc)}), flush=True)
         return False
     with open(HEADLINE) as fh:
@@ -165,14 +185,17 @@ def main() -> int:
         if run_accepted(args):
             return 0
         # preserve the degraded/failed run, restore the committed headline
-        n = attempt
-        while os.path.exists(
-            os.path.join(BENCH, f"bench_scaling_degraded_watch{n}.json")
-        ):
-            n += 1
-        tag = os.path.join(BENCH, f"bench_scaling_degraded_watch{n}.json")
-        shutil.copy(HEADLINE, tag)
-        if committed is not None:
+        # (skip both when the harness fail-fasted before writing anything —
+        # the headline on disk is still the committed content)
+        current = open(HEADLINE).read() if os.path.exists(HEADLINE) else None
+        if current is not None and committed is not None and current != committed:
+            n = attempt
+            while os.path.exists(
+                os.path.join(BENCH, f"bench_scaling_degraded_watch{n}.json")
+            ):
+                n += 1
+            tag = os.path.join(BENCH, f"bench_scaling_degraded_watch{n}.json")
+            shutil.copy(HEADLINE, tag)
             with open(HEADLINE, "w") as fh:
                 fh.write(committed)
             if committed_md is not None:
