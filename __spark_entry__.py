@@ -46,6 +46,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rotate out to the tail. See README 'Correctness gate' note."""
     base = {
         # --- rotated into the 50-row window (no driver row before r5) ---
+        "blocking_metrics": Q.q_blocking_metrics,
+        "threshold_sweep": Q.q_threshold_sweep,
+        "clusters_incremental": Q.q_clusters_incremental,
         "set_similarity_join": Q.q_set_similarity_join,
         "cluster_f1": Q.q_cluster_f1,
         "pipeline_full": _q_pipeline_full,
@@ -279,6 +282,71 @@ _CLUSTER_F1_SQL = (
             THEN 2 * p_raw * r_raw / (p_raw + r_raw) END, 6) AS f1
     FROM m"""
 )
+
+# Blocking-quality twin: per-family C(n,2) combinatorics + the truth-label
+# equi-join coverage count that operators/metrics.blocking_quality computes
+# distributed. Truth labeling = exact-content groups.
+_BLOCKING_METRICS_SQL = (
+    "WITH "
+    + ",".join([OS.FILES_CTE, OS.RECORDS_CTE, OS.KEYS_CTE])
+    + """,
+    sz AS (SELECT family, blocking_key, count(*) AS n FROM keys GROUP BY 1, 2),
+    pf AS (SELECT family, count(*) AS n_blocks, max(n) AS max_block,
+                  CAST(sum(n * (n - 1) // 2) AS BIGINT) AS cand_pairs
+           FROM sz GROUP BY family),
+    nr AS (SELECT CAST(count(*) AS BIGINT) AS nrec FROM records),
+    truth AS (SELECT record_id, content_sha256 AS t FROM records),
+    tt AS (SELECT CAST(COALESCE(sum(n * (n - 1) // 2), 0) AS BIGINT) AS true_total
+           FROM (SELECT count(*) AS n FROM truth GROUP BY t)),
+    kt AS (SELECT k.family, k.blocking_key, k.record_id, t.t
+           FROM keys k JOIN truth t USING (record_id)),
+    cov AS (SELECT family, CAST(count(*) AS BIGINT) AS covered FROM (
+              SELECT DISTINCT l.family, l.record_id AS a, r.record_id AS b
+              FROM kt l JOIN kt r
+                ON l.family = r.family AND l.blocking_key = r.blocking_key
+               AND l.t = r.t AND l.record_id < r.record_id)
+            GROUP BY family)
+    SELECT pf.family, n_blocks, max_block, cand_pairs,
+           round(1.0 - CAST(cand_pairs AS DOUBLE) / (nrec * (nrec - 1) // 2), 6)
+             AS reduction_ratio,
+           COALESCE(covered, 0) AS true_pairs_covered,
+           round(CASE WHEN true_total > 0
+                 THEN CAST(COALESCE(covered, 0) AS DOUBLE) / true_total END, 6)
+             AS pairs_completeness
+    FROM pf LEFT JOIN cov USING (family), nr, tt"""
+)
+
+# Threshold-sweep twin: label scored pairs via two truth joins, collapse by
+# score, cumulate with the same RANGE-frame window, global-truth recall.
+_THRESHOLD_SWEEP_SQL_TAIL = """,
+    truth AS (SELECT record_id, content_sha256 AS t FROM records),
+    lab AS (SELECT CAST(s.score AS DOUBLE) AS threshold,
+                   CASE WHEN tl.t = tr.t THEN 1 ELSE 0 END AS is_true
+            FROM scored s
+            JOIN truth tl ON s.left_id = tl.record_id
+            JOIN truth tr ON s.right_id = tr.record_id),
+    g AS (SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs,
+                 CAST(sum(is_true) AS BIGINT) AS n_true
+          FROM lab GROUP BY 1),
+    tt AS (SELECT CAST(COALESCE(sum(n * (n - 1) // 2), 0) AS BIGINT) AS true_total
+           FROM (SELECT count(*) AS n FROM truth GROUP BY t)),
+    c AS (SELECT threshold,
+                 CAST(sum(n_pairs) OVER (ORDER BY threshold DESC) AS BIGINT)
+                   AS pairs_at_threshold,
+                 CAST(sum(n_true) OVER (ORDER BY threshold DESC) AS BIGINT)
+                   AS true_at_threshold
+          FROM g),
+    m AS (SELECT threshold, pairs_at_threshold, true_at_threshold,
+                 CAST(true_at_threshold AS DOUBLE) / pairs_at_threshold AS p_raw,
+                 CASE WHEN true_total > 0
+                      THEN CAST(true_at_threshold AS DOUBLE) / true_total END AS r_raw
+          FROM c, tt)
+    SELECT threshold, pairs_at_threshold, true_at_threshold,
+           round(p_raw, 6) AS "precision",
+           round(r_raw, 6) AS recall,
+           round(CASE WHEN r_raw IS NOT NULL AND p_raw + r_raw > 0
+                 THEN 2 * p_raw * r_raw / (p_raw + r_raw) END, 6) AS f1
+    FROM m"""
 
 
 def _lang_id_trigram_sql() -> str:
@@ -516,6 +584,11 @@ def oracle_sql() -> dict[str, str]:
                   CAST(sum(CASE WHEN n > 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_guarded_at_8
            FROM sz GROUP BY family""",
         "clusters": _CLUSTERS_SQL,
+        # incremental maintenance must reproduce the from-scratch clustering
+        # bit-for-bit, so its oracle IS the full-recompute recursive CC twin
+        "clusters_incremental": _CLUSTERS_SQL,
+        "blocking_metrics": _BLOCKING_METRICS_SQL,
+        "threshold_sweep": PS + _THRESHOLD_SWEEP_SQL_TAIL,
         "cluster_f1": _CLUSTER_F1_SQL,
         "set_similarity_join": f"""WITH t AS (
             SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents),

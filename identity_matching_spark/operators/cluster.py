@@ -232,3 +232,58 @@ def clusters_with_singletons(records: DataFrame, assignments: DataFrame) -> Data
             F.coalesce("cluster_id", "record_id").alias("cluster_id"),
         )
     )
+
+
+def update_clusters(
+    old_clusters: DataFrame,
+    new_edges: DataFrame,
+    config: MatchConfig | None = None,
+) -> DataFrame:
+    """Incremental cluster maintenance: fold NEW match edges into an
+    existing (record_id, cluster_id) assignment, re-running connected
+    components ONLY on the components the new edges touch.
+
+    The reference re-links incrementally as resources arrive (MDM
+    subscription channels, MdmConfig.java:22-37) instead of re-running
+    MDM over the store; this is the batch-scale analog. At 100 TB a
+    daily delta touches a vanishing fraction of components — recomputing
+    CC over 10^12 records to absorb 10^7 new edges is the wrong plan.
+
+    Exactness: an old component is represented by its membership STAR
+    (cluster_id is the min member's record_id, so the star edges are
+    real record-record edges preserving exactly the old connectivity).
+    CC over {new edges} ∪ {stars of touched components} therefore equals
+    full-recompute CC restricted to touched nodes; untouched assignments
+    pass through verbatim (every endpoint of a new edge is by definition
+    in a touched component or brand-new). Equality with the from-scratch
+    run is pytest-property-tested and oracle-checked end-to-end
+    (clusters_incremental ≡ the full recursive-CTE CC twin).
+
+    Scale shape: two slim semi/anti joins on cluster_id + one CC over the
+    touched subgraph (star edges are O(touched members), not quadratic).
+    New records without any edge are absent from the output — compose
+    with clusters_with_singletons(all_records, ...) as usual.
+    """
+    # new_edges feeds BOTH the touched-node scan and the subgraph union; a
+    # non-deterministic upstream would otherwise let the two passes disagree
+    # (same two-pass hazard as with_dense_ids, ADVICE r4).
+    new_edges = new_edges.select("left_id", "right_id").persist()
+    touched_nodes = (
+        new_edges.select(F.col("left_id").alias("record_id"))
+        .unionByName(new_edges.select(F.col("right_id").alias("record_id")))
+        .distinct()
+    )
+    touched = (
+        old_clusters.join(touched_nodes, "record_id")
+        .select("cluster_id")
+        .distinct()
+    )
+    members = old_clusters.join(touched, "cluster_id")
+    star = members.filter(F.col("record_id") != F.col("cluster_id")).select(
+        F.col("cluster_id").alias("left_id"),
+        F.col("record_id").alias("right_id"),
+    )
+    sub = new_edges.unionByName(star)
+    recomputed = connected_components(sub, config)
+    untouched = old_clusters.join(touched, "cluster_id", "left_anti")
+    return untouched.select("record_id", "cluster_id").unionByName(recomputed)

@@ -1044,3 +1044,63 @@ def q_cluster_f1(spark, sf_dir):
     pred = clusters_with_singletons(records, connected_components(edges, SQL_CONFIG))
     truth = records.select("record_id", F.col("content_sha256").alias("true_cluster_id"))
     return pairwise_cluster_metrics(pred, truth)
+
+
+def q_blocking_metrics(spark, sf_dir):
+    """Blocking-quality report per key family: reduction ratio and
+    pairs-completeness vs exact-content truth, all from combinatorics —
+    the candidate pair set is never materialized (operators/metrics.py;
+    the tuning surface for the families mdm-rules.json configures)."""
+    from identity_matching_spark.operators.metrics import blocking_quality
+
+    records = _records(spark, sf_dir)
+    keyed = blocking_keys(records, SQL_CONFIG).select(
+        "record_id", "family", "blocking_key"
+    )
+    truth = records.select(
+        "record_id", F.col("content_sha256").alias("true_cluster_id")
+    )
+    return blocking_quality(keyed, truth)
+
+
+def q_threshold_sweep(spark, sf_dir):
+    """Fellegi-Sunter calibration curve: precision/recall/F1 at every
+    decision-table score, cumulated over a tiny grouped relation; recall
+    counts blocking-missed true pairs (operators/metrics.py)."""
+    from identity_matching_spark.operators.metrics import threshold_sweep
+
+    records, pairs = _pairs(spark, sf_dir)
+    scored = grade_pairs(compare_pairs(pairs, records))
+    truth = records.select(
+        "record_id", F.col("content_sha256").alias("true_cluster_id")
+    )
+    return threshold_sweep(scored, truth)
+
+
+def q_clusters_incremental(spark, sf_dir):
+    """A5 incremental: split the corpus deterministically (~75/25 on an id
+    hash), cluster the base from scratch, then fold the delta's match
+    edges in with update_clusters (CC only over touched components).
+    Output must be IDENTICAL to the from-scratch q_clusters run — the
+    oracle is the same full recursive-CTE CC twin."""
+    from identity_matching_spark.operators.cluster import update_clusters
+
+    records, pairs = _pairs(spark, sf_dir)
+    scored = grade_pairs(compare_pairs(pairs, records))
+    edges = scored.filter(F.col("score") >= 0.80).select("left_id", "right_id")
+    base_flag = F.pmod(F.xxhash64(F.col("record_id")), F.lit(4)) != 0
+    flags = records.select("record_id", base_flag.alias("_base"))
+    e = edges.join(
+        flags.select(F.col("record_id").alias("left_id"), F.col("_base").alias("_bl")),
+        "left_id",
+    ).join(
+        flags.select(F.col("record_id").alias("right_id"), F.col("_base").alias("_br")),
+        "right_id",
+    )
+    base_edges = e.filter("_bl AND _br").select("left_id", "right_id")
+    delta_edges = e.filter("NOT (_bl AND _br)").select("left_id", "right_id")
+    base_clusters = clusters_with_singletons(
+        records.filter(base_flag), connected_components(base_edges, SQL_CONFIG)
+    )
+    updated = update_clusters(base_clusters, delta_edges, SQL_CONFIG)
+    return clusters_with_singletons(records, updated)
