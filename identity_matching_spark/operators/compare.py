@@ -100,6 +100,7 @@ def attach_sides(
     n_records: int | None = None,
     broadcast_limit: int = RECORDS_BROADCAST_LIMIT,
     cols: list[str] | None = None,
+    keep_keys: bool = False,
 ) -> DataFrame:
     """Join attributes onto both sides of the pair list.
 
@@ -108,7 +109,12 @@ def attach_sides(
     relations broadcast with long rid64 keys (zero pair-stream shuffles,
     cache-resident probes); large ones shuffle-hash on record_id (two slim
     shuffles — unavoidable for arbitrary pair lists).
-    """
+
+    ``keep_keys=True`` retains the pair list's ``left_didx``/``right_didx``
+    twins in the output (when present) so downstream stages can stay in
+    8-byte longs — run_pipeline threads them through grading into the CC
+    edge set. Default False keeps the attached schema identical across all
+    key regimes (ADVICE r4)."""
     cols = list(cols or ATTR_COLS)
     if n_records is None:
         n_records = records.count()
@@ -145,7 +151,8 @@ def attach_sides(
             lkey, rkey = F.col("left_didx"), F.col("right_didx")
             out_cols = [
                 c for c in pairs.columns
-                if not c.endswith("_rid64") and not c.endswith("_didx")
+                if not c.endswith("_rid64")
+                and (keep_keys or not c.endswith("_didx"))
             ]
         elif "left_rid64" in pairs.columns:
             key_expr = _rid64(F.col("record_id")).alias("rid64")
@@ -181,10 +188,13 @@ def attach_sides(
         rhs = records.select(
             F.col("didx").alias("_rd"), *[F.col(c).alias(f"r_{c}") for c in cols]
         ).hint("shuffle_hash")
+        dropped = ["_ld", "_rd", "l_record_id", "r_record_id"]
+        if not keep_keys:
+            dropped += ["left_didx", "right_didx"]
         return (
             pairs.join(lhs, F.col("left_didx") == F.col("_ld"), "inner")
             .join(rhs, F.col("right_didx") == F.col("_rd"), "inner")
-            .drop("_ld", "_rd", "left_didx", "right_didx", "l_record_id", "r_record_id")
+            .drop(*dropped)
         )
     attrs = records.select(*cols)
     lhs = attrs.select([F.col(c).alias(f"l_{c}") for c in cols]).hint("shuffle_hash")
@@ -240,13 +250,21 @@ def comparator_flags() -> dict[str, Column]:
     }
 
 
-def compare_pairs(pairs: DataFrame, records: DataFrame) -> DataFrame:
+def compare_pairs(
+    pairs: DataFrame, records: DataFrame, keep_keys: bool = False
+) -> DataFrame:
     """pairs(left_id,right_id) -> scored-feature rows (one bool col per flag)."""
-    attached = attach_sides(pairs, records)
+    attached = attach_sides(pairs, records, keep_keys=keep_keys)
     flags = comparator_flags()
+    key_cols = (
+        ["left_didx", "right_didx"]
+        if keep_keys and "left_didx" in attached.columns
+        else []
+    )
     out = attached.select(
         "left_id",
         "right_id",
+        *key_cols,
         *[F.coalesce(expr, F.lit(False)).alias(name) for name, expr in flags.items()],
     )
     return out
@@ -475,6 +493,7 @@ def compare_pairs_fuzzy(
     records: DataFrame,
     config,
     jw_pairs: DataFrame | None = None,
+    keep_keys: bool = False,
 ) -> DataFrame:
     """Exact flag vector + fuzzy comparator flags.
 
@@ -528,7 +547,8 @@ def compare_pairs_fuzzy(
         # match to the same 2^-64 h64 equality class the C3 comparator
         # itself uses — no strings ride the probe rows at all.
         attached_aw = attach_sides(
-            pairs, enriched, n_records, config.records_broadcast_limit, cols=cols
+            pairs, enriched, n_records, config.records_broadcast_limit, cols=cols,
+            keep_keys=keep_keys,
         )
         jwb = F.broadcast(jwtab.select(
             F.xxhash64("jh_lo", "jh_hi").alias("_jk"),
@@ -573,8 +593,15 @@ def compare_pairs_fuzzy(
             stems.select(F.col("record_id").alias("right_id"), F.col("stem").alias("_jr")),
             n_records, config.records_broadcast_limit,
         )
+        fb_keys = (
+            ["left_didx", "right_didx"]
+            if keep_keys and "left_didx" in pairs.columns
+            else []
+        )
         pairs_stems = (
-            pairs.select("left_id", "right_id").join(sl, "left_id").join(sr, "right_id")
+            pairs.select("left_id", "right_id", *fb_keys)
+            .join(sl, "left_id")
+            .join(sr, "right_id")
         )
         jw_side = (
             F.broadcast(jwtab)
@@ -586,7 +613,7 @@ def compare_pairs_fuzzy(
             (F.least("_jl", "_jr") == jw_side["l_stem"])
             & (F.greatest("_jl", "_jr") == jw_side["r_stem"]),
             "left",
-        ).select("left_id", "right_id", "jw_stem_val", "lev_stem_val")
+        ).select("left_id", "right_id", *fb_keys, "jw_stem_val", "lev_stem_val")
         lhs = (
             enriched.select([F.col(c).alias(f"l_{c}") for c in cols])
             .hint("shuffle_hash")
@@ -611,6 +638,11 @@ def compare_pairs_fuzzy(
     out = attached.select(
         "left_id",
         "right_id",
+        *(
+            ["left_didx", "right_didx"]
+            if keep_keys and "left_didx" in attached.columns
+            else []
+        ),
         *[F.coalesce(expr, F.lit(False)).alias(name) for name, expr in flags.items()],
         F.coalesce(_eq(F.col("l_cologne_h64"), F.col("r_cologne_h64")), F.lit(False)).alias(
             "cologne_given_match"

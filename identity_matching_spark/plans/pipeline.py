@@ -121,6 +121,11 @@ def run_pipeline(files: DataFrame, config: MatchConfig | None = None) -> Pipelin
     blocking: BlockingResult = candidate_pairs(records, config, n_records=n_records)
     _t("blocking_call", _t0)
     pairs = blocking.pairs
+    # When the pair list carries dense-id twins, keep them through grading:
+    # the CC edge set then lives entirely in 8-byte longs (below) instead
+    # of 64-char sha strings — ~8x less bytes through every star-iteration
+    # shuffle and a columnar long collect at the driver-finish gate.
+    keep_keys = "left_didx" in pairs.columns
     if config.enable_fuzzy:
         from identity_matching_spark.operators.compare import compare_pairs_fuzzy
 
@@ -132,10 +137,10 @@ def run_pipeline(files: DataFrame, config: MatchConfig | None = None) -> Pipelin
         pairs.count()
         _t("pairs_barrier", _t0)
         _t0 = time.time()
-        flagged = compare_pairs_fuzzy(pairs, records, config)
+        flagged = compare_pairs_fuzzy(pairs, records, config, keep_keys=keep_keys)
         _t("jwtab_count", _t0)
     else:
-        flagged = compare_pairs(pairs, records)
+        flagged = compare_pairs(pairs, records, keep_keys=keep_keys)
     # Persist the SLIM scored relation (flags + score/weight/verdicts) and
     # derive match_messages as a lazy projection over it: the message
     # array is a pure function of the flag columns (20 string literals +
@@ -152,18 +157,59 @@ def run_pipeline(files: DataFrame, config: MatchConfig | None = None) -> Pipelin
     _t0 = time.time()
     scored_slim.count()  # barrier: CC's checkpoint stages scan a warm cache
     _t("scored_slim_barrier", _t0)
-    scored = with_match_messages(scored_slim)
+    # The exposed scored relation keeps the reference output schema — the
+    # didx twins are an engine-internal key column, pruned here.
+    scored_public = (
+        scored_slim.drop("left_didx", "right_didx") if keep_keys else scored_slim
+    )
+    scored = with_match_messages(scored_public)
     # propagate the fuzzy path's persisted JW table for PipelineResult.cleanup
     scored.jw_stem_cache = getattr(flagged, "jw_stem_cache", None)
     scored.slim_cache = scored_slim
     scored.dense_slim_cache = dense_slim_cache
-    edges = scored_slim.filter(F.col("score") >= F.lit(config.cluster_threshold)).select(
-        "left_id", "right_id"
-    )
+    edges = scored_public.filter(
+        F.col("score") >= F.lit(config.cluster_threshold)
+    ).select("left_id", "right_id")
     _t0 = time.time()
-    assignments = connected_components(edges, config)
-    _t("cc_loop", _t0)
-    clusters = clusters_with_singletons(records, assignments)
+    if keep_keys:
+        # CC over dense longs: didx is the RANK of record_id, so min-didx
+        # per component IS the min-record_id representative — the long
+        # loop yields bit-identical clusters after the id map join below
+        # (equivalence pytested in test_cluster_props.py). Every star
+        # iteration's groupBy/join and the driver-finish collect move
+        # 16 B/edge instead of two 64-char ids.
+        edges_d = scored_slim.filter(
+            F.col("score") >= F.lit(config.cluster_threshold)
+        ).select(
+            F.col("left_didx").alias("left_id"),
+            F.col("right_didx").alias("right_id"),
+        )
+        assign_d = connected_components(edges_d, config)
+        idmap = records.select("didx", "record_id")
+        rep = idmap.select(
+            F.col("didx").alias("_cd"), F.col("record_id").alias("_crid")
+        )
+        clusters = (
+            idmap
+            .join(
+                assign_d.select(
+                    F.col("record_id").alias("didx"),
+                    F.col("cluster_id").alias("_cd"),
+                ),
+                "didx",
+                "left",
+            )
+            .join(rep, "_cd", "left")
+            .select(
+                "record_id",
+                F.coalesce("_crid", "record_id").alias("cluster_id"),
+            )
+        )
+        _t("cc_loop", _t0)
+    else:
+        assignments = connected_components(edges, config)
+        _t("cc_loop", _t0)
+        clusters = clusters_with_singletons(records, assignments)
     return PipelineResult(
         records=records,
         pairs=pairs,

@@ -155,3 +155,30 @@ def test_cc_checkpoint_invalidated_on_different_edges(spark, tmp_path):
         for r in connected_components(graph_b, cfg).collect()
     }
     assert again == {(r["record_id"], r["cluster_id"]) for r in got_b}
+
+
+@pytest.mark.parametrize("seed,n,m", [(21, 70, 110), (22, 35, 12)])
+def test_long_cc_matches_string_cc(spark, seed, n, m):
+    """CC over LONG ids (the pipeline's dense-didx edge regime) must agree
+    with CC over the same graph keyed by strings, under an order-preserving
+    id bijection (didx is the rank of record_id, so min-long rep maps to
+    min-string rep). Covers both the driver finisher (default config) and
+    the pure star loop (cc_driver_finish_edges=0) on long keys."""
+    rng = random.Random(seed)
+    nodes = list(range(n))
+    edges = [tuple(rng.sample(nodes, 2)) for _ in range(m)]
+    sid = lambda i: f"s{i:05d}"  # order-preserving long -> string bijection
+    edf_l = spark.createDataFrame(edges, "left_id long, right_id long")
+    edf_s = spark.createDataFrame(
+        [(sid(a), sid(b)) for a, b in edges], ["left_id", "right_id"]
+    )
+    for cfg in (MatchConfig(), MatchConfig(cc_driver_finish_edges=0)):
+        got_l = {
+            (sid(r["record_id"]), sid(r["cluster_id"]))
+            for r in connected_components(edf_l, cfg).collect()
+        }
+        got_s = {
+            (r["record_id"], r["cluster_id"])
+            for r in connected_components(edf_s, cfg).collect()
+        }
+        assert got_l == got_s, (seed, cfg.cc_driver_finish_edges)

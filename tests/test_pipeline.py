@@ -113,3 +113,18 @@ def test_entity_recovery_quality(spark, corpus, result):
     f1 = 2 * tp / (2 * tp + fp + fn) if tp else 0.0
     print(f"entity-label pairwise F1 = {f1:.4f} (tp={tp} fp={fp} fn={fn})")
     assert f1 > 0.5  # informational floor; decision-parity gate is the real one
+
+
+def test_didx_cc_pipeline_equivalence(spark, corpus, result):
+    """The dense-id regime routes the CC edge set through 8-byte didx
+    twins (run_pipeline keep_keys path) and maps representatives back via
+    the id map; the string regime clusters on record_id directly. The two
+    must produce bit-identical cluster assignments, and the didx twins
+    must never leak into the exposed scored schema."""
+    files = corpus.drop("entity_id")
+    assert "left_didx" not in result.scored_pairs.columns
+    res_str = run_pipeline(files, MatchConfig(dense_ids=False))
+    a = {(r["record_id"], r["cluster_id"]) for r in result.clusters.collect()}
+    b = {(r["record_id"], r["cluster_id"]) for r in res_str.clusters.collect()}
+    assert a == b
+    res_str.cleanup()
