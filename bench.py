@@ -267,6 +267,22 @@ def main():
 
     cal = hw_calibration(cpus)
 
+    # Leg-level fail-fast (scaling harness): the host's capacity can dip
+    # for a few minutes MID-window, invisible to the window-bracket
+    # calibrations (BENCH/bench_scaling_degraded_watch18.json: clean
+    # brackets, hi leg started at 72% capacity). When the harness passes
+    # its window-start bar via SPARK_GRAFT_MIN_CAL, a leg that opens on a
+    # sagged host aborts here — before paying for a corrupted measurement.
+    min_cal = float(os.environ.get("SPARK_GRAFT_MIN_CAL", "0"))
+    if min_cal and cal < min_cal:
+        print(json.dumps({
+            "error": "leg_cal_degraded",
+            "cal_units_per_sec": round(cal, 1),
+            "required": round(min_cal, 1),
+            "cpus": cpus,
+        }))
+        sys.exit(17)
+
     spark = build_session("bench", cpus=cpus)
 
     # Section gating (SPARK_GRAFT_SECTIONS = all | kernel | e2e): the

@@ -78,14 +78,22 @@ def mem_calibration(procs: int, units: int = 3, work: int = 40) -> float:
     return procs * units / (time.time() - t0)
 
 
-def run_bench(cpus: int, sf_dir: str, sections: str = "all") -> dict:
+def run_bench(cpus: int, sf_dir: str, sections: str = "all", min_cal: float = 0.0) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=sf_dir,
-               SPARK_GRAFT_SECTIONS=sections)
+               SPARK_GRAFT_SECTIONS=sections, SPARK_GRAFT_MIN_CAL=str(min_cal))
     t0 = time.time()
     cmd = [sys.executable, os.path.join(REPO, "bench.py")]
     if os.path.exists("/usr/bin/taskset"):
         cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
     out = subprocess.run(cmd, env=env, capture_output=True, text=True, timeout=4000)
+    if out.returncode == 17:
+        # bench.py fail-fasted: its leg-start calibration fell below the
+        # window bar — abort the whole run BEFORE any result is written,
+        # so the committed headline is never touched by a sagged window.
+        raise SystemExit(
+            f"leg at {cpus} procs fail-fasted: host sagged below "
+            f"{min_cal:.1f} units/s mid-window"
+        )
     json_lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
     if not json_lines:
         sys.stderr.write(out.stdout[-3000:] + "\n" + out.stderr[-5000:] + "\n")
@@ -146,8 +154,8 @@ def main():
         cal_k = {str(N_LO): hw_calibration(N_LO), str(N_HI): hw_calibration(N_HI)}
         _gate(cal_k[str(N_HI)], "kernel")
         mem_k = {str(N_LO): mem_calibration(N_LO), str(N_HI): mem_calibration(N_HI)}
-        k_lo = run_bench(N_LO, sf_dir, sections="kernel")
-        k_hi = run_bench(N_HI, sf_dir, sections="kernel")
+        k_lo = run_bench(N_LO, sf_dir, sections="kernel", min_cal=0.93 * cal_k[str(N_LO)])
+        k_hi = run_bench(N_HI, sf_dir, sections="kernel", min_cal=0.93 * cal_k[str(N_HI)])
         cal_k_end = hw_calibration(N_HI)
     else:  # carry the banked kernel window over verbatim
         cal_k = {
@@ -171,8 +179,12 @@ def main():
     if sections in ("all", "e2e"):
         cal_e = {str(N_LO): hw_calibration(N_LO), str(N_HI): hw_calibration(N_HI)}
         _gate(cal_e[str(N_HI)], "e2e")
-        e_lo = run_bench(N_LO, sf_dir, sections="e2e")
-        e_hi = run_bench(N_HI, sf_dir, sections="e2e")
+        # Each leg re-calibrates at ITS OWN start inside bench.py and
+        # fail-fasts below 93% of this window's bar at the same width —
+        # a mid-window dip between the brackets can no longer corrupt a
+        # leg silently (degraded_watch18: clean brackets, sagged hi leg).
+        e_lo = run_bench(N_LO, sf_dir, sections="e2e", min_cal=0.93 * cal_e[str(N_LO)])
+        e_hi = run_bench(N_HI, sf_dir, sections="e2e", min_cal=0.93 * cal_e[str(N_HI)])
         cal_e_end = hw_calibration(N_HI)
     else:  # carry the banked e2e window over verbatim
         cal_e = {
@@ -220,6 +232,14 @@ def main():
         },
         "mem_calibration_units_per_sec": {
             "kernel_window": {k: round(v, 2) for k, v in mem_k.items()},
+        },
+        # Each leg's own start-of-leg calibration over the window-start
+        # calibration at the same width: 1.0 = the leg opened on exactly
+        # the capacity the window brackets promised. Catches mid-window
+        # dips that recover before the end bracket.
+        "leg_cal_ratio_e2e": {
+            "lo": round(e_lo["cal_units_per_sec"] / cal_e[str(N_LO)], 3),
+            "hi": round(e_hi["cal_units_per_sec"] / cal_e[str(N_HI)], 3),
         },
         "hw_ceiling_efficiency": round(hw_eff, 3),
         "hw_ceiling_efficiency_e2e_window": round(hw_eff_e2e, 3),

@@ -121,9 +121,14 @@ def run_accepted(args) -> bool:
         clean = clean and k_clean
         ok = ok and k_clean and r["scaling_efficiency"] >= 0.8
     if args.sections in ("all", "e2e"):
+        # Window brackets AND per-leg start-of-leg calibrations must hold:
+        # degraded_watch18 had clean brackets around a hi leg that opened
+        # at 72% capacity (mid-window dip, recovered before the end cal).
+        legs = r.get("leg_cal_ratio_e2e", {})
         e_clean = (
             abs(r["host_drift_e2e_window"] - 1.0) <= args.drift_band
             and r["hw_ceiling_efficiency_e2e_window"] >= args.min_ceiling
+            and all(0.93 <= v <= 1.08 for v in legs.values())
         )
         clean = clean and e_clean
         ok = ok and e_clean and r["scaling_efficiency_e2e"] >= args.min_e2e
@@ -139,6 +144,7 @@ def run_accepted(args) -> bool:
                 "drift": r["host_drift_between_legs"],
                 "e2e_ceiling": r["hw_ceiling_efficiency_e2e_window"],
                 "e2e_drift": r["host_drift_e2e_window"],
+                "e2e_leg_cals": r.get("leg_cal_ratio_e2e"),
             }
         ),
         flush=True,
