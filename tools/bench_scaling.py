@@ -142,17 +142,32 @@ def main():
     # watcher can resume probing within ~a minute.
     min_cal_hi = float(os.environ.get("SPARK_GRAFT_MIN_CAL_HI", "0"))
 
-    def _gate(cal_hi: float, section: str) -> None:
+    # A window can open with adequate ABSOLUTE capacity but a collapsed
+    # lo->hi ceiling (degraded_watch20: harness-start ceiling 0.835 while
+    # the probe minutes earlier saw 0.975) — such a window cannot measure
+    # scaling efficiency above its own ceiling, so abort before paying
+    # ~18 min for a guaranteed rejection.
+    min_ceiling = float(os.environ.get("SPARK_GRAFT_MIN_CEILING", "0"))
+
+    def _gate(cal: dict, section: str) -> None:
+        cal_hi = cal[str(N_HI)]
         if min_cal_hi and cal_hi < min_cal_hi:
             raise SystemExit(
                 f"{section} window opened degraded: {cal_hi:.1f} units/s "
                 f"at {N_HI} procs < required {min_cal_hi:.1f}; aborting "
                 "before the measurement legs"
             )
+        ceiling = cal_hi / (4 * cal[str(N_LO)])
+        if min_ceiling and ceiling < min_ceiling:
+            raise SystemExit(
+                f"{section} window opened with ceiling {ceiling:.3f} < "
+                f"required {min_ceiling:.2f}; aborting before the "
+                "measurement legs"
+            )
 
     if sections in ("all", "kernel"):
         cal_k = {str(N_LO): hw_calibration(N_LO), str(N_HI): hw_calibration(N_HI)}
-        _gate(cal_k[str(N_HI)], "kernel")
+        _gate(cal_k, "kernel")
         mem_k = {str(N_LO): mem_calibration(N_LO), str(N_HI): mem_calibration(N_HI)}
         k_lo = run_bench(N_LO, sf_dir, sections="kernel", min_cal=0.93 * cal_k[str(N_LO)])
         k_hi = run_bench(N_HI, sf_dir, sections="kernel", min_cal=0.93 * cal_k[str(N_HI)])
@@ -178,7 +193,7 @@ def main():
 
     if sections in ("all", "e2e"):
         cal_e = {str(N_LO): hw_calibration(N_LO), str(N_HI): hw_calibration(N_HI)}
-        _gate(cal_e[str(N_HI)], "e2e")
+        _gate(cal_e, "e2e")
         # Each leg re-calibrates at ITS OWN start inside bench.py and
         # fail-fasts below 93% of this window's bar at the same width —
         # a mid-window dip between the brackets can no longer corrupt a

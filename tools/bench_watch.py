@@ -83,6 +83,10 @@ def run_accepted(args) -> bool:
         # abort inside the harness if the window-start calibration shows
         # the host collapsed since the probe (93% of the probe bar)
         SPARK_GRAFT_MIN_CAL_HI=str(round(args.min_cap * 0.93, 1)),
+        # abort before the legs when the harness's own window-start
+        # calibration shows a sub-bar lo->hi ceiling (the probe's clean
+        # ceiling is minutes stale by then)
+        SPARK_GRAFT_MIN_CEILING=str(args.min_ceiling),
     )
     try:
         subprocess.run(
