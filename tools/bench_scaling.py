@@ -199,9 +199,23 @@ def main():
         # a mid-window dip between the brackets can no longer corrupt a
         # leg silently (degraded_watch18: clean brackets, sagged hi leg).
         e_lo = run_bench(N_LO, sf_dir, sections="e2e", min_cal=0.93 * cal_e[str(N_LO)])
+        # Settle between the legs: the lo-leg JVM's exit (heap + page-cache
+        # reclaim, tmpfs shuffle-dir teardown) transiently depresses the
+        # next calibration burn — six consecutive windows saw the hi leg
+        # "sag" exactly at this boundary and recover by the end bracket.
+        # Wait (bounded) until a quick burn returns to the window bar, and
+        # stamp the settle trace as a free mid-window bracket.
+        settle = []
+        for _ in range(5):
+            time.sleep(20)
+            c = hw_calibration(N_HI)
+            settle.append(round(c, 1))
+            if c >= 0.95 * cal_e[str(N_HI)]:
+                break
         e_hi = run_bench(N_HI, sf_dir, sections="e2e", min_cal=0.93 * cal_e[str(N_HI)])
         cal_e_end = hw_calibration(N_HI)
     else:  # carry the banked e2e window over verbatim
+        settle = None
         cal_e = {
             k: float(v)
             for k, v in prev["hw_calibration_units_per_sec"]["e2e_window_start"].items()
@@ -256,6 +270,9 @@ def main():
             "lo": round(e_lo["cal_units_per_sec"] / cal_e[str(N_LO)], 3),
             "hi": round(e_hi["cal_units_per_sec"] / cal_e[str(N_HI)], 3),
         },
+        # mid-window settle trace (between the e2e legs): burns at N_HI
+        # every 20 s until recovery to 95% of the window bar
+        "e2e_settle_cals": settle,
         "hw_ceiling_efficiency": round(hw_eff, 3),
         "hw_ceiling_efficiency_e2e_window": round(hw_eff_e2e, 3),
         "mem_ceiling_efficiency": round(mem_eff, 3),
