@@ -1,0 +1,345 @@
+"""Independently-bracketed e2e scaling legs + calibration-parity pairing.
+
+Why this exists: the contiguous-window harness (tools/bench_scaling.py)
+needs ~18 clean minutes for cal -> hi leg -> settle -> lo leg -> settle
+-> cal, and 25 preserved attempts (BENCH/E2E_SCALING_NOTES.md) show this
+tenant-oversubscribed host rarely stays flat that long. But a scaling
+RATIO never needed temporal adjacency — it needs both legs to run at the
+SAME host capacity, and adjacency was only ever a proxy for that. So:
+
+* ``leg <width>`` runs ONE e2e leg inside its own short window,
+  bracketed by pure-CPU calibration burns at BOTH widths before and
+  after (start gates: absolute floors + lo->hi ceiling; end gates:
+  per-width drift + ceiling). Every leg — accepted or rejected — is
+  preserved as ``BENCH/e2e_leg_w{width}_{n}.json``.
+* ``pair`` scans the banked legs and accepts a (lo, hi) pair when the
+  two legs' bracket calibrations agree within a parity band at BOTH
+  widths — i.e. the host demonstrably delivered the same capacity to
+  each leg, minutes or hours apart. Pair choice is pre-registered as
+  "parity closest to 1.0" (NOT max efficiency) so banking many legs
+  cannot cherry-pick a flattering ratio. The merged result reuses the
+  banked kernel window verbatim and goes through the same
+  write_outputs() as the contiguous harness.
+* ``watch`` probes the host and fires ``leg`` runs at clean moments,
+  trying ``pair`` after each accepted leg; exits 0 on the first
+  accepted pair.
+
+The hunt thus shrinks from "one flat 18-minute span" to "one clean
+~7-minute hi window and one clean ~13-minute lo window at matching
+capacity, in any order, any distance apart" — and a clean leg is never
+lost to the other leg's bad luck.
+
+    python tools/bench_leg.py leg 8 [--sf-dir D] [gates...]
+    python tools/bench_leg.py pair [--sf-dir D] [gates...]
+    python tools/bench_leg.py watch [--sf-dir D] [--max-minutes M] [gates...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from bench_scaling import hw_calibration, run_bench, write_outputs  # noqa: E402
+
+BENCH = os.path.join(REPO, "BENCH")
+# leg widths: N and 4N (north_rule). The banked kernel window is 2->8,
+# and `pair` asserts the merged file keeps matching legs.
+LO = int(os.environ.get("SPARK_GRAFT_N_LO", "2"))
+HI = 4 * LO
+
+
+def _bracket() -> dict:
+    """Calibration burns at both widths: the host capacity right now."""
+    return {str(LO): round(hw_calibration(LO), 1), str(HI): round(hw_calibration(HI), 1)}
+
+
+def _ceiling(cal: dict) -> float:
+    return round(cal[str(HI)] / (4 * cal[str(LO)]), 3)
+
+
+def _leg_path(width: int) -> str:
+    n = 1
+    while os.path.exists(os.path.join(BENCH, f"e2e_leg_w{width}_{n}.json")):
+        n += 1
+    return os.path.join(BENCH, f"e2e_leg_w{width}_{n}.json")
+
+
+def run_leg(width: int, args) -> dict:
+    """One bracketed e2e leg at `width` cores. Returns the leg record
+    (also written to BENCH/ whether accepted or not)."""
+    rec: dict = {
+        "width": width,
+        "sf_dir": args.sf_dir,
+        "started_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "accepted": False,
+        "reject_reason": None,
+    }
+    cal_s = _bracket()
+    rec["cal_start"], rec["ceiling_start"] = cal_s, _ceiling(cal_s)
+    if cal_s[str(HI)] < args.min_cap or cal_s[str(LO)] < args.min_cap_lo:
+        rec["reject_reason"] = (
+            f"window opened degraded: {cal_s[str(LO)]}/{cal_s[str(HI)]} u/s "
+            f"at {LO}/{HI} procs < floors {args.min_cap_lo}/{args.min_cap}"
+        )
+        return _finish(rec)
+    if rec["ceiling_start"] < args.min_ceiling:
+        rec["reject_reason"] = (
+            f"window opened with ceiling {rec['ceiling_start']} < {args.min_ceiling}"
+        )
+        return _finish(rec)
+
+    bar = cal_s[str(width)]
+    try:
+        bench = run_bench(width, args.sf_dir, sections="e2e", min_cal=0.93 * bar)
+    except SystemExit as exc:  # bench.py exit-17 fail-fast (mid-window sag)
+        rec["reject_reason"] = str(exc)
+        return _finish(rec)
+    except RuntimeError as exc:
+        rec["reject_reason"] = f"bench error: {exc}"
+        return _finish(rec)
+    rec["bench"] = bench
+    rec["leg_cal_ratio"] = round(bench["cal_units_per_sec"] / bar, 3)
+
+    # settle past the JVM-exit reclaim transient before the end bracket
+    settle = []
+    for _ in range(5):
+        time.sleep(20)
+        c = hw_calibration(HI)
+        settle.append(round(c, 1))
+        if c >= 0.95 * cal_s[str(HI)]:
+            break
+    rec["settle_cals_end"] = settle
+    cal_e = _bracket()
+    rec["cal_end"], rec["ceiling_end"] = cal_e, _ceiling(cal_e)
+    rec["drift"] = {
+        w: round(cal_e[w] / cal_s[w], 3) for w in (str(LO), str(HI))
+    }
+    bad = [w for w, d in rec["drift"].items() if abs(d - 1.0) > args.drift_band]
+    if bad:
+        rec["reject_reason"] = f"bracket drift out of band at widths {bad}: {rec['drift']}"
+    elif rec["ceiling_end"] < args.min_ceiling:
+        rec["reject_reason"] = f"end-bracket ceiling {rec['ceiling_end']} < {args.min_ceiling}"
+    else:
+        rec["accepted"] = True
+    return _finish(rec)
+
+
+def _finish(rec: dict) -> dict:
+    path = _leg_path(rec["width"])
+    with open(path, "w") as fh:
+        json.dump(rec, fh, indent=2)
+    rec["_path"] = path
+    print(json.dumps({
+        "leg": rec["width"], "accepted": rec["accepted"],
+        "reject_reason": rec["reject_reason"], "file": os.path.basename(path),
+        "cal_start": rec.get("cal_start"), "cal_end": rec.get("cal_end"),
+        "leg_cal_ratio": rec.get("leg_cal_ratio"),
+        "wall": rec.get("bench", {}).get("value"),
+    }), flush=True)
+    return rec
+
+
+def _load_legs(width: int) -> list[dict]:
+    legs = []
+    for p in sorted(glob.glob(os.path.join(BENCH, f"e2e_leg_w{width}_*.json")),
+                    key=lambda p: int(re.search(r"_(\d+)\.json$", p).group(1))):
+        with open(p) as fh:
+            d = json.load(fh)
+        if d.get("accepted") and "bench" in d:
+            d["_path"] = p
+            legs.append(d)
+    return legs
+
+
+def _cal_mean(leg: dict, w: int) -> float:
+    return (leg["cal_start"][str(w)] + leg["cal_end"][str(w)]) / 2
+
+
+def _banked_kernel() -> dict:
+    """The banked kernel window, from the COMMITTED headline (the on-disk
+    file may hold a just-rejected contiguous attempt)."""
+    try:
+        out = subprocess.run(
+            ["git", "-C", REPO, "show", "HEAD:BENCH/bench_scaling.json"],
+            capture_output=True, text=True, check=True,
+        )
+        return json.loads(out.stdout)
+    except (subprocess.CalledProcessError, json.JSONDecodeError):
+        with open(os.path.join(BENCH, "bench_scaling.json")) as fh:
+            return json.load(fh)
+
+
+def find_pair(args) -> tuple[dict, dict] | None:
+    """Pre-registered choice: among parity-qualifying (lo, hi) leg pairs,
+    the one whose parity product is closest to 1.0 — never max-eff."""
+    lo_legs, hi_legs = _load_legs(LO), _load_legs(HI)
+    best, best_score = None, None
+    for lo in lo_legs:
+        for hi in hi_legs:
+            par = {
+                str(w): round(_cal_mean(hi, w) / _cal_mean(lo, w), 3)
+                for w in (LO, HI)
+            }
+            if any(abs(v - 1.0) > args.parity_band for v in par.values()):
+                continue
+            if lo["bench"]["pairs_scored"] != hi["bench"]["pairs_scored"] or \
+               lo["bench"]["n_clusters"] != hi["bench"]["n_clusters"]:
+                continue  # different code/input — not a pair
+            score = abs(par[str(LO)] - 1.0) + abs(par[str(HI)] - 1.0)
+            if best_score is None or score < best_score:
+                best, best_score = (lo, hi, par), score
+    return best
+
+
+def run_pair(args) -> int:
+    got = find_pair(args)
+    if not got:
+        print(json.dumps({"pair": None, "reason": "no parity-qualifying (lo,hi) pair banked"}),
+              flush=True)
+        return 4
+    lo, hi, par = got
+    eff = round(hi["bench"]["pairs_per_sec"] / (4 * lo["bench"]["pairs_per_sec"]), 3)
+    summary = {
+        "pair": [os.path.basename(lo["_path"]), os.path.basename(hi["_path"])],
+        "parity": par, "scaling_efficiency_e2e": eff,
+    }
+    if eff < args.min_e2e:
+        summary["reason"] = f"best-parity pair eff {eff} < {args.min_e2e}"
+        print(json.dumps(summary), flush=True)
+        return 4
+
+    prev = _banked_kernel()
+    if prev["n_lo"] != LO or prev["n_hi"] != HI:
+        raise SystemExit(f"banked kernel window is {prev['n_lo']}->{prev['n_hi']}, legs are {LO}->{HI}")
+
+    def _kernel_leg(leg: dict) -> dict:
+        d = {k: v for k, v in leg.items() if k.startswith("kernel")}
+        d["cal_units_per_sec"] = leg["kernel_cal_units_per_sec"]
+        d["subprocess_sec"] = leg["kernel_subprocess_sec"]
+        return d
+
+    def merge(e_leg: dict, k_leg: dict) -> dict:
+        r = dict(e_leg)
+        r.update({k: v for k, v in k_leg.items() if k.startswith("kernel")})
+        r["kernel_cal_units_per_sec"] = k_leg["cal_units_per_sec"]
+        r["kernel_subprocess_sec"] = k_leg["subprocess_sec"]
+        return r
+
+    k_lo, k_hi = _kernel_leg(prev["lo"]), _kernel_leg(prev["hi"])
+    r_lo, r_hi = merge(lo["bench"], k_lo), merge(hi["bench"], k_hi)
+    result = {
+        "n_lo": LO, "n_hi": HI,
+        "lo": r_lo, "hi": r_hi,
+        "scaling_efficiency": prev["scaling_efficiency"],
+        "scaling_efficiency_e2e": eff,
+        "hw_calibration_units_per_sec": {
+            "kernel_window_start": prev["hw_calibration_units_per_sec"]["kernel_window_start"],
+            "kernel_window_end_hi": prev["hw_calibration_units_per_sec"]["kernel_window_end_hi"],
+            # paired-legs: each leg's own bracket at its own width
+            "e2e_window_start": {str(LO): lo["cal_start"][str(LO)],
+                                 str(HI): hi["cal_start"][str(HI)]},
+            "e2e_window_end_hi": hi["cal_end"][str(HI)],
+        },
+        "mem_calibration_units_per_sec": prev["mem_calibration_units_per_sec"],
+        "leg_cal_ratio_e2e": {"lo": lo["leg_cal_ratio"], "hi": hi["leg_cal_ratio"]},
+        "e2e_settle_cals": None,  # no inter-leg boundary in paired mode
+        "e2e_settle_cals_end": {"lo": lo["settle_cals_end"], "hi": hi["settle_cals_end"]},
+        "hw_ceiling_efficiency": prev["hw_ceiling_efficiency"],
+        "hw_ceiling_efficiency_e2e_window": min(
+            lo["ceiling_start"], lo["ceiling_end"], hi["ceiling_start"], hi["ceiling_end"]
+        ),
+        "mem_ceiling_efficiency": prev["mem_ceiling_efficiency"],
+        "host_drift_between_legs": prev["host_drift_between_legs"],
+        # paired-legs: cross-leg calibration parity at the hi width
+        "host_drift_e2e_window": par[str(HI)],
+        "e2e_method": "paired_legs",
+        "e2e_parity": par,
+        "e2e_leg_files": summary["pair"],
+        "e2e_leg_windows": {
+            "lo": {k: lo[k] for k in ("cal_start", "cal_end", "ceiling_start",
+                                      "ceiling_end", "drift", "started_utc")},
+            "hi": {k: hi[k] for k in ("cal_start", "cal_end", "ceiling_start",
+                                      "ceiling_end", "drift", "started_utc")},
+        },
+    }
+    write_outputs(result, args.sf_dir)
+    summary["attempt_result"] = "ACCEPTED"
+    print(json.dumps(summary), flush=True)
+    return 0
+
+
+def run_watch(args) -> int:
+    deadline = time.time() + args.max_minutes * 60
+    while time.time() < deadline:
+        if run_pair(args) == 0:
+            return 0
+        n_lo, n_hi = len(_load_legs(LO)), len(_load_legs(HI))
+        # lo legs are cheap to keep valid (the 2-core width barely sags);
+        # the hi leg is the fragile hunt. Keep one lo in the bank, then
+        # hunt hi; re-run lo when hi legs pile up unpaired (parity misses).
+        width = LO if (n_lo == 0 or n_hi >= n_lo + 2) else HI
+        c_lo = hw_calibration(LO)
+        c_hi_a = hw_calibration(HI)
+        c_hi_b = hw_calibration(HI)
+        probe = {
+            "c_lo": round(c_lo, 1), "c_hi": round(c_hi_a, 1),
+            "stability": round(c_hi_b / c_hi_a, 3),
+            "ceiling": round(c_hi_a / (4 * c_lo), 3),
+            "target_width": width, "banked_legs": {"lo": n_lo, "hi": n_hi},
+        }
+        clean = (
+            c_hi_a >= args.min_cap
+            and c_lo >= args.min_cap_lo
+            and abs(probe["stability"] - 1.0) <= args.stability
+            and probe["ceiling"] >= args.min_ceiling
+        )
+        print(json.dumps({"probe": probe, "clean": clean}), flush=True)
+        if clean:
+            run_leg(width, args)
+        else:
+            time.sleep(args.probe_sec)
+    print("deadline reached without an accepted pair", flush=True)
+    return 1
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("cmd", choices=("leg", "pair", "watch"))
+    ap.add_argument("width", nargs="?", type=int, help="leg width (cores) for `leg`")
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--min-cap", type=float, default=30.0,
+                    help="min hi-width units/s to open/keep a leg window")
+    ap.add_argument("--min-cap-lo", type=float, default=8.2,
+                    help="min lo-width units/s to open a leg window")
+    ap.add_argument("--min-ceiling", type=float, default=0.90)
+    ap.add_argument("--drift-band", type=float, default=0.07,
+                    help="max |end/start - 1| per width inside one leg's brackets")
+    ap.add_argument("--parity-band", type=float, default=0.08,
+                    help="max |hi-leg cal / lo-leg cal - 1| per width across the pair")
+    ap.add_argument("--min-e2e", type=float, default=0.65)
+    ap.add_argument("--stability", type=float, default=0.08,
+                    help="watch: max |repeat-burn ratio - 1| in the probe")
+    ap.add_argument("--probe-sec", type=int, default=75)
+    ap.add_argument("--max-minutes", type=int, default=240)
+    args = ap.parse_args()
+
+    if args.cmd == "leg":
+        if args.width not in (LO, HI):
+            raise SystemExit(f"width must be {LO} or {HI}")
+        rec = run_leg(args.width, args)
+        return 0 if rec["accepted"] else 3
+    if args.cmd == "pair":
+        return run_pair(args)
+    return run_watch(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

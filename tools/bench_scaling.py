@@ -304,9 +304,36 @@ def main():
         "host_drift_between_legs": round(drift, 3),
         "host_drift_e2e_window": round(drift_e2e, 3),
     }
+    write_outputs(result, sf_dir)
+    print(json.dumps(result))
+
+
+def write_outputs(result: dict, sf_dir: str) -> None:
+    """Write BENCH/bench_scaling.json + BENCH/BASELINE.md from a result
+    dict (shared by the contiguous-window harness above and the
+    paired-leg merger in tools/bench_leg.py)."""
+    N_LO, N_HI = result["n_lo"], result["n_hi"]
+    r_lo, r_hi = result["lo"], result["hi"]
+    hw_lo = result["hw_calibration_units_per_sec"]["kernel_window_start"][str(N_LO)]
+    hw_hi = result["hw_calibration_units_per_sec"]["kernel_window_start"][str(N_HI)]
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "bench_scaling.json"), "w") as fh:
         json.dump(result, fh, indent=2)
+
+    if result.get("e2e_method") == "paired_legs":
+        e2e_window_note = """The e2e legs were measured as INDEPENDENTLY
+BRACKETED windows (tools/bench_leg.py): each leg ran inside its own short
+window with pure-CPU calibration burns at BOTH widths before and after,
+and the pair was accepted only when the two legs' bracket calibrations
+agree within a parity band — i.e. both legs demonstrably ran at the same
+host capacity. Temporal adjacency (which 25 preserved degraded windows
+show this tenant-oversubscribed host cannot sustain for the ~18 minutes
+a contiguous hi+lo window needs, BENCH/E2E_SCALING_NOTES.md) is replaced
+by the equal-capacity check it was only ever a proxy for. Below,
+"drift" for the e2e section is the cross-leg calibration parity at the
+hi width."""
+    else:
+        e2e_window_note = ""
 
     md = f"""# BENCH — measured baseline (this repo)
 
@@ -334,6 +361,8 @@ WITH the executors, so the memory ceiling is a single-host artifact —
 kernel efficiency should be read against it. E2e window:
 compute-ceiling {result['hw_ceiling_efficiency_e2e_window']}, drift
 across both e2e legs {result['host_drift_e2e_window']}.
+
+{e2e_window_note}
 
 ## Scoring throughput (the BASELINE.json metric)
 
@@ -384,7 +413,6 @@ Reproduce: `python tools/bench_scaling.py /root/testdata/sf0.1`
 """
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
         fh.write(md)
-    print(json.dumps(result))
 
 
 if __name__ == "__main__":
