@@ -20,13 +20,16 @@ bench_leg = importlib.util.module_from_spec(spec)
 spec.loader.exec_module(bench_leg)
 
 
-def _leg(width, n, cal, pps, pairs=15103852, clusters=96716, accepted=True):
+def _leg(width, n, cal, pps, pairs=15103852, clusters=96716, accepted=True, mem=7.0):
     c = {"2": cal[0], "8": cal[1]}
     return {
         "width": width,
         "accepted": accepted,
         "cal_start": c,
         "cal_end": c,
+        "mem_cal_start": mem,
+        "mem_cal_end": mem,
+        "mem_drift": 1.0,
         "ceiling_start": round(cal[1] / (4 * cal[0]), 3),
         "ceiling_end": round(cal[1] / (4 * cal[0]), 3),
         "drift": {"2": 1.0, "8": 1.0},
@@ -57,7 +60,7 @@ def bank(tmp_path, monkeypatch):
 
 
 def _args(**kw):
-    defaults = dict(parity_band=0.08, min_e2e=0.65, sf_dir="/tmp/x")
+    defaults = dict(parity_band=0.08, mem_parity_band=0.12, min_e2e=0.65, sf_dir="/tmp/x")
     defaults.update(kw)
     return type("A", (), defaults)()
 
@@ -70,7 +73,7 @@ def test_find_pair_prefers_parity_not_eff(bank):
     _write(bank, _leg(8, 2, (9.6, 37.4), pps=80000.0), 2)
     lo, hi, par = bench_leg.find_pair(_args())
     assert os.path.basename(hi["_path"]) == "e2e_leg_w8_1.json"
-    assert par == {"2": 1.0, "8": 1.0}
+    assert par == {"2": 1.0, "8": 1.0, "mem": 1.0}
 
 
 def test_parity_band_rejects(bank):
@@ -82,6 +85,13 @@ def test_parity_band_rejects(bank):
 def test_output_mismatch_rejects(bank):
     _write(bank, _leg(2, 1, (9.0, 35.0), pps=25000.0), 1)
     _write(bank, _leg(8, 1, (9.0, 35.0), pps=70000.0, clusters=12345), 1)
+    assert bench_leg.find_pair(_args()) is None
+
+
+def test_mem_parity_rejects(bank):
+    _write(bank, _leg(2, 1, (9.0, 35.0), pps=25000.0, mem=7.0), 1)
+    # CPU cals identical but the memory-system burn differs 20%
+    _write(bank, _leg(8, 1, (9.0, 35.0), pps=70000.0, mem=5.6), 1)
     assert bench_leg.find_pair(_args()) is None
 
 

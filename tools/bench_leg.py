@@ -47,7 +47,7 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from bench_scaling import hw_calibration, run_bench, write_outputs  # noqa: E402
+from bench_scaling import hw_calibration, mem_calibration, run_bench, write_outputs  # noqa: E402
 
 BENCH = os.path.join(REPO, "BENCH")
 # leg widths: N and 4N (north_rule). The banked kernel window is 2->8,
@@ -96,6 +96,11 @@ def run_leg(width: int, args) -> dict:
         )
         return _finish(rec)
 
+    # The pure-CPU burn can't see co-tenant MEMORY pressure (lo-leg walls
+    # vary ±15% at identical CPU cals across the ledger) — stamp the
+    # memory-system burn at the hi width in both brackets; pairing gates
+    # on its cross-leg parity.
+    rec["mem_cal_start"] = round(mem_calibration(HI), 2)
     bar = cal_s[str(width)]
     try:
         bench = run_bench(width, args.sf_dir, sections="e2e", min_cal=0.93 * bar)
@@ -119,6 +124,8 @@ def run_leg(width: int, args) -> dict:
     rec["settle_cals_end"] = settle
     cal_e = _bracket()
     rec["cal_end"], rec["ceiling_end"] = cal_e, _ceiling(cal_e)
+    rec["mem_cal_end"] = round(mem_calibration(HI), 2)
+    rec["mem_drift"] = round(rec["mem_cal_end"] / rec["mem_cal_start"], 3)
     rec["drift"] = {
         w: round(cal_e[w] / cal_s[w], 3) for w in (str(LO), str(HI))
     }
@@ -193,6 +200,12 @@ def find_pair(args) -> tuple[dict, dict] | None:
             if lo["bench"]["pairs_scored"] != hi["bench"]["pairs_scored"] or \
                lo["bench"]["n_clusters"] != hi["bench"]["n_clusters"]:
                 continue  # different code/input — not a pair
+            mem_par = round(
+                (hi["mem_cal_start"] + hi["mem_cal_end"])
+                / (lo["mem_cal_start"] + lo["mem_cal_end"]), 3)
+            if abs(mem_par - 1.0) > args.mem_parity_band:
+                continue  # memory-system capacity differed between the legs
+            par["mem"] = mem_par
             score = abs(par[str(LO)] - 1.0) + abs(par[str(HI)] - 1.0)
             if best_score is None or score < best_score:
                 best, best_score = (lo, hi, par), score
@@ -265,9 +278,11 @@ def run_pair(args) -> int:
         "e2e_leg_files": summary["pair"],
         "e2e_leg_windows": {
             "lo": {k: lo[k] for k in ("cal_start", "cal_end", "ceiling_start",
-                                      "ceiling_end", "drift", "started_utc")},
+                                      "ceiling_end", "drift", "mem_cal_start",
+                                      "mem_cal_end", "mem_drift", "started_utc")},
             "hi": {k: hi[k] for k in ("cal_start", "cal_end", "ceiling_start",
-                                      "ceiling_end", "drift", "started_utc")},
+                                      "ceiling_end", "drift", "mem_cal_start",
+                                      "mem_cal_end", "mem_drift", "started_utc")},
         },
     }
     write_outputs(result, args.sf_dir)
@@ -324,6 +339,9 @@ def main() -> int:
                     help="max |end/start - 1| per width inside one leg's brackets")
     ap.add_argument("--parity-band", type=float, default=0.08,
                     help="max |hi-leg cal / lo-leg cal - 1| per width across the pair")
+    ap.add_argument("--mem-parity-band", type=float, default=0.12,
+                    help="max |hi-leg mem cal / lo-leg mem cal - 1| across the pair "
+                         "(memory-system burn at the hi width; noisier than CPU)")
     ap.add_argument("--min-e2e", type=float, default=0.65)
     ap.add_argument("--stability", type=float, default=0.08,
                     help="watch: max |repeat-burn ratio - 1| in the probe")
