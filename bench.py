@@ -263,9 +263,12 @@ def main():
     # One pure-CPU calibration burn at this run's width, emitted in the
     # JSON line, makes every BENCH_rN file self-interpreting.
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
-    from bench_scaling import hw_calibration
+    from bench_scaling import hw_calibration_med
 
-    cal = hw_calibration(cpus)
+    # Median-of-3: a single ~1.5 s burn swings ±30% at low widths, and
+    # this value feeds the 0.93-bar fail-fast below — a noise-dip there
+    # aborts a healthy leg (BENCH/e2e_leg_w2_2.json died exactly so).
+    cal = hw_calibration_med(cpus, reps=3)
 
     # Leg-level fail-fast (scaling harness): the host's capacity can dip
     # for a few minutes MID-window, invisible to the window-bracket

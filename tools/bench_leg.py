@@ -47,7 +47,9 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from bench_scaling import hw_calibration, mem_calibration, run_bench, write_outputs  # noqa: E402
+from bench_scaling import (  # noqa: E402
+    hw_calibration, hw_calibration_med, mem_calibration, run_bench, write_outputs,
+)
 
 BENCH = os.path.join(REPO, "BENCH")
 # leg widths: N and 4N (north_rule). The banked kernel window is 2->8,
@@ -57,8 +59,15 @@ HI = 4 * LO
 
 
 def _bracket() -> dict:
-    """Calibration burns at both widths: the host capacity right now."""
-    return {str(LO): round(hw_calibration(LO), 1), str(HI): round(hw_calibration(HI), 1)}
+    """Calibration burns at both widths: the host capacity right now.
+    Median-of-N per width — the lo burn is ~1.3 s and a single sample
+    swings ±30% (ledger: c_lo 6.7–11.8 on the same quiet host), which
+    was the dominant cause of false window-open rejects. 5 reps at the
+    cheap lo width, 3 at hi (~11 s per bracket, vs a 9-min leg)."""
+    return {
+        str(LO): round(hw_calibration_med(LO, reps=5), 1),
+        str(HI): round(hw_calibration_med(HI, reps=3), 1),
+    }
 
 
 def _ceiling(cal: dict) -> float:
@@ -301,8 +310,8 @@ def run_watch(args) -> int:
         # the hi leg is the fragile hunt. Keep one lo in the bank, then
         # hunt hi; re-run lo when hi legs pile up unpaired (parity misses).
         width = LO if (n_lo == 0 or n_hi >= n_lo + 2) else HI
-        c_lo = hw_calibration(LO)
-        c_hi_a = hw_calibration(HI)
+        c_lo = hw_calibration_med(LO, reps=3)
+        c_hi_a = hw_calibration_med(HI, reps=3)
         c_hi_b = hw_calibration(HI)
         probe = {
             "c_lo": round(c_lo, 1), "c_hi": round(c_hi_a, 1),
@@ -334,11 +343,21 @@ def main() -> int:
                     help="min hi-width units/s to open/keep a leg window")
     ap.add_argument("--min-cap-lo", type=float, default=8.2,
                     help="min lo-width units/s to open a leg window")
-    ap.add_argument("--min-ceiling", type=float, default=0.90)
+    ap.add_argument("--min-ceiling", type=float, default=0.85,
+                    help="min lo->hi calibration ceiling to open/close a leg "
+                         "window. The QUIET host measures an intrinsic ~0.86 "
+                         "width asymmetry (2-proc burns run ~20%% faster "
+                         "per-core than 8-proc — few-core boost/placement), "
+                         "so a 0.90 bar selected for windows where co-tenant "
+                         "load suppressed the lo burn; the accepted pair still "
+                         "stamps its true ceiling and the raw-efficiency bar "
+                         "(--min-e2e) is unchanged")
     ap.add_argument("--drift-band", type=float, default=0.07,
                     help="max |end/start - 1| per width inside one leg's brackets")
-    ap.add_argument("--parity-band", type=float, default=0.08,
-                    help="max |hi-leg cal / lo-leg cal - 1| per width across the pair")
+    ap.add_argument("--parity-band", type=float, default=0.06,
+                    help="max |hi-leg cal / lo-leg cal - 1| per width across the "
+                         "pair (0.06 so the merged host_drift_e2e_window stamp "
+                         "is guaranteed inside [0.94, 1.06])")
     ap.add_argument("--mem-parity-band", type=float, default=0.12,
                     help="max |hi-leg mem cal / lo-leg mem cal - 1| across the pair "
                          "(memory-system burn at the hi width; noisier than CPU)")
