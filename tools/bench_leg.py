@@ -48,7 +48,8 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from bench_scaling import (  # noqa: E402
-    hw_calibration, hw_calibration_med, mem_calibration, run_bench, write_outputs,
+    hw_calibration, hw_calibration_med, hw_calibration_pinned, mem_calibration,
+    run_bench, write_outputs,
 )
 
 BENCH = os.path.join(REPO, "BENCH")
@@ -110,7 +111,11 @@ def run_leg(width: int, args) -> dict:
     # memory-system burn at the hi width in both brackets; pairing gates
     # on its cross-leg parity.
     rec["mem_cal_start"] = round(mem_calibration(HI), 2)
-    bar = cal_s[str(width)]
+    # The in-leg fail-fast burn runs under the leg's `taskset -c 0-{w-1}`;
+    # unpinned bracket burns float onto idle cores and read systematically
+    # higher, so the bar it is gated against must be measured pinned too.
+    bar = round(hw_calibration_pinned(width, reps=3), 1)
+    rec["bar_pinned"] = bar
     try:
         bench = run_bench(width, args.sf_dir, sections="e2e", min_cal=0.93 * bar)
     except SystemExit as exc:  # bench.py exit-17 fail-fast (mid-window sag)

@@ -75,6 +75,27 @@ def hw_calibration_med(procs: int, reps: int = 3) -> float:
     return sorted(hw_calibration(procs) for _ in range(reps))[reps // 2]
 
 
+def _pin_worker(cores):
+    os.sched_setaffinity(0, cores)
+
+
+def hw_calibration_pinned(procs: int, reps: int = 3) -> float:
+    """Median pure-CPU burn with workers PINNED to cores 0..procs-1 —
+    the exact affinity a `taskset -c 0-{procs-1}` bench leg runs under.
+    Unpinned burns float onto idle cores and read systematically higher
+    (leg w2_2/w2_4 fail-fasted against bars their pinned in-leg burn
+    could never meet); a bar that gates a pinned measurement must be
+    measured pinned."""
+    cores = set(range(procs))
+    vals = []
+    for _ in range(reps):
+        t0 = time.time()
+        with mp.Pool(procs, initializer=_pin_worker, initargs=(cores,)) as p:
+            p.map(_burn, [3_000_000] * procs * 6)
+        vals.append(procs * 6 / (time.time() - t0))
+    return sorted(vals)[reps // 2]
+
+
 def mem_calibration(procs: int, units: int = 3, work: int = 40) -> float:
     """Memory-system units/sec at `procs` processes. procs x 128 MB of
     random-access working set — the ceiling that actually binds a
