@@ -127,11 +127,17 @@ def run_leg(width: int, args) -> dict:
     rec["bench"] = bench
     rec["leg_cal_ratio"] = round(bench["cal_units_per_sec"] / bar, 3)
 
-    # settle past the JVM-exit reclaim transient before the end bracket
+    # Settle past the JVM-exit reclaim transient before the end bracket.
+    # The break criterion is a MEDIAN-of-3, not a single burn: singles
+    # swing ±30%, and a lucky sample exited this loop early while reclaim
+    # was still in progress — the median end bracket then read the true
+    # (still-sagged) state and rejected a healthy leg (w2_6: settle saw
+    # one 38.5, bracket median 31.1, drift 0.791). Median-vs-median makes
+    # the break bar and the bracket it guards use the same estimator.
     settle = []
-    for _ in range(5):
+    for _ in range(6):
         time.sleep(20)
-        c = hw_calibration(HI)
+        c = hw_calibration_med(HI, reps=3)
         settle.append(round(c, 1))
         if c >= 0.95 * cal_s[str(HI)]:
             break
@@ -311,13 +317,25 @@ def run_watch(args) -> int:
         if run_pair(args) == 0:
             return 0
         n_lo, n_hi = len(_load_legs(LO)), len(_load_legs(HI))
-        # lo legs are cheap to keep valid (the 2-core width barely sags);
-        # the hi leg is the fragile hunt. Keep one lo in the bank, then
-        # hunt hi; re-run lo when hi legs pile up unpaired (parity misses).
-        width = LO if (n_lo == 0 or n_hi >= n_lo + 2) else HI
+        # Hunt order (revised after 10 straight lo-leg rejects, 2026-08-20
+        # 07:30Z): the lo leg needs a ~13-minute clean window — exactly
+        # what this host rarely gives — while the hi leg needs ~5-7. Bank
+        # a hi leg FIRST (shortest exposure, and a banked leg is never
+        # invalidated), then grind the long lo window; once one of each
+        # is banked but parity misses, chase parity with cheap hi
+        # attempts 2:1 before adding another lo capacity point.
+        if n_hi == 0:
+            width = HI
+        elif n_lo == 0:
+            width = LO
+        else:
+            width = HI if n_hi < 2 * n_lo + 2 else LO
         c_lo = hw_calibration_med(LO, reps=3)
         c_hi_a = hw_calibration_med(HI, reps=3)
-        c_hi_b = hw_calibration(HI)
+        # flux probe: med-vs-med. The old single-burn repeat made this a
+        # test of single-sample noise (±15% at hi), not of host flux —
+        # quiet probes flapped at 1.09-1.10 against the 0.08 band.
+        c_hi_b = hw_calibration_med(HI, reps=3)
         probe = {
             "c_lo": round(c_lo, 1), "c_hi": round(c_hi_a, 1),
             "stability": round(c_hi_b / c_hi_a, 3),
@@ -348,15 +366,20 @@ def main() -> int:
                     help="min hi-width units/s to open/keep a leg window")
     ap.add_argument("--min-cap-lo", type=float, default=8.2,
                     help="min lo-width units/s to open a leg window")
-    ap.add_argument("--min-ceiling", type=float, default=0.85,
+    ap.add_argument("--min-ceiling", type=float, default=0.82,
                     help="min lo->hi calibration ceiling to open/close a leg "
-                         "window. The QUIET host measures an intrinsic ~0.86 "
-                         "width asymmetry (2-proc burns run ~20%% faster "
-                         "per-core than 8-proc — few-core boost/placement), "
-                         "so a 0.90 bar selected for windows where co-tenant "
-                         "load suppressed the lo burn; the accepted pair still "
-                         "stamps its true ceiling and the raw-efficiency bar "
-                         "(--min-e2e) is unchanged")
+                         "window. The QUIET host measures an intrinsic "
+                         "~0.84-0.86 width asymmetry (2-proc burns run ~20%% "
+                         "faster per-core than 8-proc — few-core boost/"
+                         "placement), so a 0.90 bar selected for windows where "
+                         "co-tenant load suppressed the lo burn, and a bar AT "
+                         "the intrinsic center (0.85) coin-flip-rejected quiet "
+                         "windows on estimator noise alone (w2_9/w2_10: 0.827/"
+                         "0.829 on a quiet host). 0.82 = intrinsic center "
+                         "minus ~1 sigma of the median-estimator ratio; every "
+                         "bracket ceiling is still stamped into the leg record "
+                         "and the merged file's min, and the raw-efficiency "
+                         "bar (--min-e2e) is unchanged")
     ap.add_argument("--drift-band", type=float, default=0.07,
                     help="max |end/start - 1| per width inside one leg's brackets")
     ap.add_argument("--parity-band", type=float, default=0.06,
