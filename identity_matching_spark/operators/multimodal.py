@@ -302,10 +302,14 @@ def synthesize_media(spark, n: int, partitions: int = 8) -> DataFrame:
 
 def _default_decoder(payload: bytes, kind: str) -> np.ndarray:
     """Real decode for the formats this module can parse without codec
-    libraries — BMP, (stacked) PPM, PCM WAV, sniffed by magic bytes. The
-    decoded 'signal' is the flat float32 pixel/sample stream. Anything
-    else (JPEG, MP3, MP4, ...) is the codec seam: install the library and
-    pass ``decoder=``."""
+    libraries — BMP, (stacked) PPM, PCM WAV, QOI, and baseline JPEG (the
+    vendored pure-numpy codec in ``functions/jpeg.py``), sniffed by magic
+    bytes. The decoded 'signal' is the flat float32 pixel/sample stream.
+    Anything else (PNG, MP3, MP4, progressive JPEG, ...) is the codec
+    seam: install the library and pass ``decoder=``. When Pillow IS
+    installed it takes precedence for every compressed image incl. JPEG
+    (libjpeg speed); the vendored decoder is the no-dependency fallback,
+    so the compressed branch executes even in this sandbox."""
     data = bytes(payload or b"")
     if data[:2] == b"BM":
         return decode_bmp(data).astype(np.float32).ravel()
@@ -329,6 +333,10 @@ def _default_decoder(payload: bytes, kind: str) -> np.ndarray:
 
         samples, _sr = _soundfile.read(io.BytesIO(data), dtype="float32")
         return np.asarray(samples, dtype=np.float32).ravel()
+    if data[:3] == b"\xff\xd8\xff":
+        from ..functions.jpeg import decode_jpeg
+
+        return decode_jpeg(data).astype(np.float32).ravel()
     raise NotImplementedError(
         f"no built-in codec for this payload (kind={kind}); "
         "install Pillow/soundfile or pass decoder="
@@ -375,9 +383,11 @@ def _nn_resize(px: np.ndarray, tw: int, th: int) -> np.ndarray:
 
 
 def _default_resizer(payload: bytes, tw: int, th: int) -> bytes:
-    """Real resize for the parseable formats (BMP / PPM incl. frame
-    stacks): decode -> nearest-neighbor -> re-encode in the same format.
-    Compressed formats are the codec seam (pass ``resizer=``)."""
+    """Real resize for the parseable formats (BMP / QOI / PPM incl. frame
+    stacks, and baseline JPEG via the vendored codec): decode ->
+    nearest-neighbor -> re-encode in the same format. Other compressed
+    formats are the codec seam (pass ``resizer=``; Pillow, when
+    installed, takes precedence for all of them)."""
     data = bytes(payload or b"")
     if data[:2] == b"BM":
         return encode_bmp(_nn_resize(decode_bmp(data), tw, th))
@@ -395,6 +405,10 @@ def _default_resizer(payload: bytes, tw: int, th: int) -> bytes:
         buf = io.BytesIO()
         img.resize((tw, th), _PILImage.NEAREST).save(buf, format=fmt)
         return buf.getvalue()
+    if data[:3] == b"\xff\xd8\xff":
+        from ..functions.jpeg import decode_jpeg, encode_jpeg
+
+        return encode_jpeg(_nn_resize(decode_jpeg(data), tw, th))
     raise NotImplementedError(
         "no built-in codec for this payload; install Pillow or pass resizer="
     )
