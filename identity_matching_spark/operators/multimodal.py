@@ -337,6 +337,11 @@ def _default_decoder(payload: bytes, kind: str) -> np.ndarray:
         from ..functions.jpeg import decode_jpeg
 
         return decode_jpeg(data).astype(np.float32).ravel()
+    if data[:4] == b"fLaC":
+        from ..functions.flac import decode_flac
+
+        # (n, ch) -> interleaved stream, like the WAV path
+        return decode_flac(data).astype(np.float32).ravel()
     raise NotImplementedError(
         f"no built-in codec for this payload (kind={kind}); "
         "install Pillow/soundfile or pass decoder="

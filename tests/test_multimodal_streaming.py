@@ -179,8 +179,13 @@ def test_default_decoder_known_statistics(spark, media):
         assert all(abs(a - b) < 1e-4 for a, b in zip(got, expect)), mid
         checked += 1
     assert checked == 90
-    with pt.raises(NotImplementedError):
+    # JPEG-magic payloads now reach the vendored codec (functions/jpeg.py),
+    # which rejects truncated garbage as corrupt rather than unsupported;
+    # unrecognized magic still raises the NotImplementedError seam error.
+    with pt.raises(ValueError, match="corrupt JPEG"):
         _default_decoder(b"\xff\xd8\xff\xe0 jpeg-ish", "image")
+    with pt.raises(NotImplementedError):
+        _default_decoder(b"GIF89a not-vendored", "image")
 
 
 def test_streaming_window_agg_matches_batch(spark):
@@ -237,12 +242,21 @@ def test_codec_seam_optional_dependency():
 
     from identity_matching_spark.operators import multimodal as mm
 
+    # JPEG payloads no longer hit the optional-library seam at all: the
+    # vendored codec (functions/jpeg.py) owns that magic in BOTH branches
+    # (Pillow, when present, is tried first but the fallback is real).
     jpeg_magic = b"\xff\xd8\xff\xe0" + b"\x00" * 32
+    png_magic = b"\x89PNG\r\n\x1a\n" + b"\x00" * 32
     if mm._PILImage is None:
-        with pytest.raises(NotImplementedError, match="install Pillow"):
+        with pytest.raises(ValueError, match="corrupt JPEG"):
             mm._default_decoder(jpeg_magic, "image")
-        with pytest.raises(NotImplementedError, match="install Pillow"):
+        with pytest.raises(ValueError, match="corrupt JPEG"):
             mm._default_resizer(jpeg_magic, 4, 4)
+        # formats with no vendored codec still raise the seam error
+        with pytest.raises(NotImplementedError, match="install Pillow"):
+            mm._default_decoder(png_magic, "image")
+        with pytest.raises(NotImplementedError, match="install Pillow"):
+            mm._default_resizer(png_magic, 4, 4)
     else:  # pragma: no cover - needs Pillow in the image
         import io
 
