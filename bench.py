@@ -187,6 +187,21 @@ def run_scoring_kernel(spark, n_entities: int):
     from pyspark.sql import functions as F
 
     rec_path, pair_path = prepare_scoring_inputs(spark, n_entities)
+    # The pair list is WRITTEN as 64 files so the shuffle-free kernel
+    # stage runs 64 tasks (4x the widest leg — see prepare_scoring_inputs),
+    # but Spark's size-based file packing coalesces them into ~11 x 128 MB
+    # splits, leaving a 3-task straggler wave that idles 5 of 8 cores for
+    # the last quarter of the stage (and packs even worse across 4 x 2-slot
+    # executors in cluster mode — the event-log profile that exposed this).
+    # A high open-cost makes each file its own split, restoring the
+    # intended 64 tasks. Dynamic SQL conf, scoped to the kernel section
+    # and restored after, so the e2e legs are untouched.
+    # SPARK_GRAFT_OPEN_COST=0 keeps Spark's default packing (the A/B
+    # control arm — tools/kernel_ab.py interleaves the two).
+    open_cost = int(os.environ.get("SPARK_GRAFT_OPEN_COST", str(128 * 1024 * 1024)))
+    prev_open_cost = spark.conf.get("spark.sql.files.openCostInBytes", None)
+    if open_cost:
+        spark.conf.set("spark.sql.files.openCostInBytes", str(open_cost))
     records = spark.read.parquet(rec_path)
     # Replicate the pair list so the timed section runs tens of seconds at
     # every parallelism level — measures steady-state scoring throughput,
@@ -243,6 +258,11 @@ def run_scoring_kernel(spark, n_entities: int):
     jwtab = getattr(scored, "jw_stem_cache", None)
     if jwtab is not None:
         jwtab.unpersist()
+    if open_cost:
+        if prev_open_cost is None:
+            spark.conf.unset("spark.sql.files.openCostInBytes")
+        else:
+            spark.conf.set("spark.sql.files.openCostInBytes", prev_open_cost)
     return wall, n
 
 

@@ -33,8 +33,22 @@ def build_session(
     # real cluster writes shuffle to node-local NVMe. Tests and normal runs
     # keep Spark's default.
     local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    # SPARK_GRAFT_MASTER switches the SAME session (and therefore the same
+    # bench/pipeline code) onto a real cluster manager — e.g. the
+    # standalone master a tools/cluster_harness.py launch exposes as
+    # spark://host:port. Under spark-submit the JVM gateway is pre-started
+    # (PYSPARK_GATEWAY_PORT) and --master already decided the cluster —
+    # calling .master() there would silently override it back to local
+    # (the first run of test_standalone_cluster.py caught exactly that:
+    # job green, zero executors launched). local[cpus] stays the default
+    # for tests and the single-JVM bench; executor sizing only applies off
+    # local mode (on a standalone cluster one executor per 2-core worker
+    # mirrors the north-rule "N executors" unit).
+    master = os.environ.get("SPARK_GRAFT_MASTER")
+    if master is None and "PYSPARK_GATEWAY_PORT" not in os.environ:
+        master = f"local[{cpus}]"
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
@@ -55,6 +69,22 @@ def build_session(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if master:
+        builder = builder.master(master)
+    if master and not master.startswith("local"):
+        builder = (
+            builder.config(
+                "spark.executor.cores",
+                os.environ.get("SPARK_GRAFT_EXECUTOR_CORES", "2"),
+            )
+            .config(
+                "spark.executor.memory",
+                os.environ.get("SPARK_GRAFT_EXECUTOR_MEMORY", "6g"),
+            )
+            # same-host standalone cluster: bind driver RPC to loopback so
+            # executors always reach it regardless of hostname resolution
+            .config("spark.driver.host", os.environ.get("SPARK_GRAFT_DRIVER_HOST", "127.0.0.1"))
+        )
     if local_dir:
         os.makedirs(local_dir, exist_ok=True)
         builder = builder.config("spark.local.dir", local_dir)
